@@ -1,0 +1,105 @@
+"""The distributed extraction operator: Arrow-batched, shuffle-minimal.
+
+Logical plan::
+
+    read documents (doc_id, spans)
+      -> deterministic partition assignment (hash + jumbo isolation)   [1 shuffle]
+      -> mapInPandas(extract_batch)                                    [pipelined]
+      -> ordered output spans + per-doc metrics
+
+Design notes for 10^12-document scale (BASELINE.json north_rule):
+
+* **One shuffle.** Everything per-document happens inside a single
+  ``mapInPandas`` stage; the only exchange is the explicit repartition
+  that balances documents across tasks.
+* **Skew salting.** ``part_id`` is a pure function of ``doc_id`` (so the
+  assignment is reproducible across runs — required for checkpoint
+  resume), but jumbo documents (span count >= JUMBO_SPANS) are isolated
+  into a *separate* partition-id space so a giant PDF never queues
+  behind — or OOMs with — a full batch of normal docs.  No global
+  window / driver collect is involved, so the scheme costs the same at
+  10^12 docs as at 10^3.
+* **Bounded batches.** ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  (session.py) caps docs per Arrow batch, bounding executor memory even
+  for jumbo partitions.
+* **No per-row Python UDFs** (input_hint mandate): the per-doc heuristics
+  run inside the Arrow-batched iterator, sharing
+  :mod:`pdf_extractor_spark.core` verbatim with the oracle.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.extract import extract_document
+
+SPAN_STRUCT = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+INPUT_SCHEMA = f"doc_id string, spans {SPAN_STRUCT}"
+OUTPUT_SCHEMA = (
+    f"doc_id string, part_id int, spans {SPAN_STRUCT}, "
+    "n_spans int, parse_failures int, proc_us long"
+)
+
+JUMBO_SPANS = 2000          # input spans; above this a doc is "jumbo"
+DEFAULT_DOCS_PER_PARTITION = 512
+
+
+def num_partitions_for(n_docs: int, cores: int) -> int:
+    """Size the partition count: enough for parallelism, small enough that a
+    partition's docs fit an executor's memory at the target scale."""
+    return max(2 * cores, (n_docs + DEFAULT_DOCS_PER_PARTITION - 1) // DEFAULT_DOCS_PER_PARTITION)
+
+
+def with_partition_id(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Assign the deterministic ``part_id`` (resume unit + output partition).
+
+    Normal docs: ``pmod(xxhash64(doc_id), P)``.  Jumbo docs: isolated id
+    space ``P + pmod(xxhash64(doc_id), P)`` so heavy rows never share a
+    partition with a full quota of normal rows (skew defusal without any
+    global ordering step).
+    """
+    p = F.lit(num_partitions)
+    h = F.pmod(F.xxhash64("doc_id"), p).cast("int")
+    return df.withColumn(
+        "part_id",
+        F.when(F.size("spans") >= JUMBO_SPANS, (h + p).cast("int")).otherwise(h),
+    )
+
+
+def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = []
+        for doc_id, part_id, spans in zip(pdf["doc_id"], pdf["part_id"], pdf["spans"]):
+            t0 = time.perf_counter_ns()
+            span_list = [
+                {"kind": s["kind"], "text": s["text"],
+                 "media_ref": s["media_ref"], "offset": int(s["offset"])}
+                for s in spans
+            ]
+            out_spans, failures = extract_document(span_list)
+            dt_us = (time.perf_counter_ns() - t0) // 1000
+            rows.append((doc_id, int(part_id), out_spans, len(out_spans),
+                         failures, dt_us))
+        yield pd.DataFrame(rows, columns=["doc_id", "part_id", "spans", "n_spans",
+                                          "parse_failures", "proc_us"])
+
+
+def extract_operator(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """documents df -> extracted df (see OUTPUT_SCHEMA).
+
+    ``df`` must have (doc_id, spans).  Exactly one shuffle (the explicit
+    repartition on ``part_id``); extraction itself is map-side only.
+    """
+    if num_partitions is None:
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        num_partitions = 4 * cores
+    salted = with_partition_id(df.select("doc_id", "spans"), num_partitions)
+    # range-partition on part_id: near 1:1 task<->part_id mapping (hash-of-hash
+    # would fold multiple part_ids into one task and re-introduce imbalance)
+    balanced = salted.repartitionByRange(2 * num_partitions, "part_id", "doc_id")
+    return balanced.mapInPandas(_extract_batches, schema=OUTPUT_SCHEMA)

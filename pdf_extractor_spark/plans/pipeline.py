@@ -1,0 +1,128 @@
+"""End-to-end extraction job: read → salt → extract → write + lineage,
+with idempotent checkpoint resume (BASELINE.json north_rule).
+
+Commit protocol (SURVEY.md §4.3):
+
+* ``part_id`` is a pure function of ``doc_id`` and the partition count,
+  so the work units are stable across runs.
+* Output is written partitioned by ``part_id`` with dynamic partition
+  overwrite → re-processing a partition replaces exactly its files
+  (idempotent).
+* A lineage row ``(source_snapshot, partition_id, doc_count, span_count,
+  parse_failures, wall_ms, status)`` is appended only *after* the data
+  write succeeds, and is computed by reading the written output back
+  (never by re-running extraction), so a lineage row implies durable data.
+* Resume = anti-filter pending partitions against committed lineage.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extraction import extract_operator, num_partitions_for, with_partition_id
+from ..sources import catalog
+
+LINEAGE_SUBDIR = "lineage"
+EXTRACTED_SUBDIR = "extracted"
+
+
+def committed_partitions(spark: SparkSession, lineage_loc: str) -> list[int]:
+    import os
+    if "://" not in lineage_loc and not os.path.exists(lineage_loc):
+        return []
+    try:
+        lin = spark.read.parquet(lineage_loc)
+    except Exception:
+        return []
+    rows = (lin.filter(F.col("status") == "committed")
+               .select("partition_id").distinct().collect())
+    return [r.partition_id for r in rows]
+
+
+def run_extraction(
+    spark: SparkSession,
+    input_location: str,
+    output_dir: str,
+    num_partitions: int | None = None,
+    resume: bool = True,
+    limit_partitions: int | None = None,
+    snapshot: str | None = None,
+) -> dict:
+    """Run (or resume) the extraction job.  Returns run metrics.
+
+    ``limit_partitions`` is a test/chaos hook: process only part_ids
+    below the limit, simulating a run killed after K partitions.
+    """
+    t_start = time.perf_counter()
+    out_loc = f"{output_dir}/{EXTRACTED_SUBDIR}"
+    lin_loc = f"{output_dir}/{LINEAGE_SUBDIR}"
+    snapshot = snapshot or catalog.snapshot_id()
+
+    docs = catalog.read_documents(spark, input_location)
+    if num_partitions is None:
+        n_docs = docs.count()  # parquet row-count from footer metadata: cheap
+        num_partitions = num_partitions_for(n_docs, spark.sparkContext.defaultParallelism)
+
+    salted = with_partition_id(docs.select("doc_id", "spans"), num_partitions)
+
+    committed = committed_partitions(spark, lin_loc) if resume else []
+    pending = salted
+    if committed:
+        pending = pending.filter(~F.col("part_id").isin(committed))
+    if limit_partitions is not None:
+        pending = pending.filter(F.col("part_id") < limit_partitions)
+
+    extracted = extract_operator(pending, num_partitions)
+    catalog.write_partitioned(extracted, out_loc, ["part_id"], overwrite_partitions=True)
+
+    # lineage from the *written* output (read-back, column-pruned: the spans
+    # column is never touched), appended only after the durable write
+    out = spark.read.parquet(out_loc)
+    newly = out if not committed else out.filter(~F.col("part_id").isin(committed))
+    lineage = (
+        newly.groupBy(F.col("part_id").cast("int").alias("partition_id"))
+        .agg(
+            F.count("doc_id").alias("doc_count"),
+            F.sum("n_spans").cast("long").alias("span_count"),
+            F.sum("parse_failures").cast("long").alias("parse_failures"),
+            (F.sum("proc_us") / F.lit(1000)).cast("long").alias("wall_ms"),
+        )
+        .withColumn("source_snapshot", F.lit(snapshot))
+        .withColumn("status", F.lit("committed"))
+        .select("source_snapshot", "partition_id", "doc_count", "span_count",
+                "parse_failures", "wall_ms", "status")
+    )
+    catalog.append(lineage, lin_loc)
+
+    stats = (spark.read.parquet(lin_loc).filter(F.col("status") == "committed")
+             .agg(F.count("*").alias("parts"),
+                  F.sum("doc_count").alias("docs"),
+                  F.sum("span_count").alias("spans"),
+                  F.sum("parse_failures").alias("failures")).collect()[0])
+    wall_s = time.perf_counter() - t_start
+    catalog.write_manifest(output_dir, {
+        "input": input_location, "snapshot": snapshot,
+        "num_partitions": num_partitions, "resume": resume,
+        "committed_partitions": int(stats.parts),
+    })
+    return {
+        "snapshot": snapshot,
+        "num_partitions": num_partitions,
+        "committed_partitions": int(stats.parts),
+        "docs_total_committed": int(stats.docs or 0),
+        "spans_total": int(stats.spans or 0),
+        "parse_failures": int(stats.failures or 0),
+        "wall_s": wall_s,
+        "skipped_committed": len(committed),
+    }
+
+
+def read_extracted(spark: SparkSession, output_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{output_dir}/{EXTRACTED_SUBDIR}")
+
+
+def read_lineage(spark: SparkSession, output_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{output_dir}/{LINEAGE_SUBDIR}")

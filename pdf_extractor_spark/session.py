@@ -1,0 +1,43 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs ``local[N]`` single-JVM; the config is written so the
+same job submitted via ``spark-submit --py-files`` to a 1000-executor
+cluster needs no code change — only ``--master`` / executor sizing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch cap bounds per-batch memory inside mapInPandas even when a
+# jumbo doc (10^5 spans) lands in a batch (SURVEY.md §7.4 risk 4).
+ARROW_MAX_RECORDS = 64
+
+
+def get_spark(app: str = "pdf_extractor_spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # ~cores locally; on a real cluster this should be ~2-3x total cores
+        n = master[master.find("[") + 1:master.find("]")] if "[" in master else str(cpus)
+        shuffle_partitions = cpus if n == "*" else int(n)
+    b = (
+        SparkSession.builder.master(master).appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

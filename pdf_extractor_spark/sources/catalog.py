@@ -1,0 +1,76 @@
+"""Catalog/IO abstraction: Iceberg when the runtime is on the classpath,
+partitioned Parquet + JSON manifest emulation otherwise.
+
+The sandbox's pyspark 4.1.2 install ships no iceberg-spark-runtime jar,
+so locally we always take the Parquet path; the Iceberg branch is the
+deploy-time path (``--packages org.apache.iceberg:iceberg-spark-runtime-...``
++ a catalog conf).  The pipeline core never touches either API directly
+(SURVEY.md §7.4 risk 5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        ext = spark.conf.get("spark.sql.extensions", "") or ""
+        return "IcebergSparkSessionExtensions" in ext
+    except Exception:
+        return False
+
+
+def read_documents(spark: SparkSession, location: str) -> DataFrame:
+    """Read the input documents table (Iceberg table name or parquet path)."""
+    if "://" not in location and not os.path.exists(location) and iceberg_available(spark):
+        return spark.read.table(location)
+    return spark.read.parquet(location)
+
+
+def write_partitioned(df: DataFrame, location: str, partition_cols: list[str],
+                      overwrite_partitions: bool = True) -> None:
+    """Write partitioned output; per-partition overwrite for idempotent resume."""
+    spark = df.sparkSession
+    if iceberg_available(spark) and "/" not in location:
+        w = df.writeTo(location)
+        if overwrite_partitions:
+            w.overwritePartitions()
+        else:
+            w.append()
+        return
+    mode = "overwrite" if overwrite_partitions else "append"
+    # dynamic partitionOverwriteMode (session.py) => only touched partitions replaced
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(location)
+
+
+def append(df: DataFrame, location: str) -> None:
+    if iceberg_available(df.sparkSession) and "/" not in location:
+        df.writeTo(location).append()
+        return
+    df.write.mode("append").parquet(location)
+
+
+def snapshot_id() -> str:
+    """A unique snapshot identifier for lineage rows (Iceberg would supply
+    its own snapshot id; the parquet emulation mints one)."""
+    return f"snap-{int(time.time())}-{uuid.uuid4().hex[:8]}"
+
+
+def write_manifest(location: str, payload: dict) -> None:
+    os.makedirs(location, exist_ok=True)
+    with open(os.path.join(location, "_manifest.json"), "w") as f:
+        json.dump(payload, f, indent=2, sort_keys=True)
+
+
+def read_manifest(location: str) -> dict | None:
+    p = os.path.join(location, "_manifest.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
