@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+All operators live in :mod:`pdf_extractor_spark.queries` /
+:mod:`pdf_extractor_spark.corpus` (one REGISTRY entry per SURVEY.md §2
+operator family + the training-data corpus ops); this file just adapts the
+registry to the driver's shape.
 """
 
 from __future__ import annotations
@@ -13,26 +17,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pdf_extractor_spark.queries import REGISTRY
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the full interleaved-document
+    extraction pipeline (skew-salted, Arrow-batched, one shuffle), exploded to
+    one row per emitted span.  Driver checks rows>0 + stable schema."""
+    return REGISTRY["extract_pipeline"].spark(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 + corpus ops."""
+    return {name: spec.spark for name, spec in sorted(REGISTRY.items())}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL for every SQL-expressible query; rows-only ops
+    (Arrow-batched extraction / multimodal decode) are omitted by design —
+    their exact-parity gate is tests/test_extract_spark.py vs the
+    pure-Python oracle."""
+    return {name: spec.sql for name, spec in sorted(REGISTRY.items())
+            if spec.sql is not None}

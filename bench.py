@@ -1,0 +1,83 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the end-to-end wall seconds over all headline queries;
+``extract_docs_per_sec`` reports the flagship extraction throughput
+(BASELINE.json metric).  Every query is fully materialized via the JVM-side
+``noop`` sink so lazy plans can't fake speed (a ``count()`` would let Spark
+prune the computed columns away).
+
+Usage: python bench.py [--sf-dir DIR] [--master local[N]] [--queries a,b,c]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset (default: all registered)")
+    ap.add_argument("--repeat", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    from pdf_extractor_spark.queries import REGISTRY
+    from pdf_extractor_spark.session import get_spark
+
+    spark = get_spark("bench", master=args.master)
+    sf_dir = args.sf_dir
+    names = (args.queries.split(",") if args.queries else sorted(REGISTRY))
+
+    # warm the JVM + parquet footers so query timings measure the plans
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in names:
+        best = None
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            materialize(REGISTRY[name].spark(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    extract_s = timings.get("extract_pipeline")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "end-to-end wall seconds over all registered queries "
+                  "(extraction + relational + dedup/ANN/text corpus ops)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "docs": n_docs,
+        "extract_docs_per_sec": (round(n_docs / extract_s, 1)
+                                 if extract_s else None),
+        "master": spark.sparkContext.master,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

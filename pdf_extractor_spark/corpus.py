@@ -1,0 +1,884 @@
+"""Training-data corpus operators: dedup, similarity search, text analysis,
+fingerprinting, multimodal plumbing.
+
+These are the operations a large-scale training-data pipeline needs on top of
+the extraction tier (SURVEY.md §2 + driver mandate): every operator is a
+``queries()`` entry with a DuckDB oracle over the driver's ``documents`` /
+``embeddings`` parquet, so the correctness gate verifies them cross-engine.
+
+Scale design (the point is 100 TB, not 500 rows):
+
+* **Dedup is blocking + verify.** Exact dedup is one hash groupBy (one
+  shuffle, map-side partial agg).  Near-dup never does the O(n²) cross
+  join: MinHash-LSH blocks by band hash (equi-join — shuffle on band
+  key), the inverted-index n-gram variant blocks by shared shingle, and
+  embedding near-dup blocks by random-hyperplane bucket.  Candidate
+  verification (exact Jaccard / exact cosine) runs only inside blocks.
+* **All hashing is md5-based and engine-portable** — the same bytes hash
+  identically on a 1000-executor cluster and in the DuckDB oracle, so
+  blocking decisions (hence results) are reproducible, not
+  partitioning-dependent.
+* **Exact cross-engine arithmetic.** Embedding math quantizes float32 →
+  int64 (``floor(x*10⁴)``) before any dot product: integer dots are
+  exact, and ``sqrt``/division over exact ints is correctly-rounded IEEE
+  double in both engines, so even cosine *values* hash-match.  Ratio
+  thresholds are cross-multiplied integers.
+* **JVM-side only.** Every operator here is pure `pyspark.sql.functions`
+  / Spark-SQL higher-order functions — zero Python UDFs, whole-stage
+  codegen end-to-end.  The only pandas stage in the repo stays in the
+  extraction operator and the multimodal decode stub (Arrow-batched).
+
+Near-dup fixtures: the driver corpus has no natural duplicates, so dedup
+queries build a deterministic working set ``documents ∪ perturbed copies``
+(truncated text / scaled embeddings, derived in-engine) — the operator then
+provably *finds* those engineered near-dups and the oracle agrees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .queries import register, t
+
+# ---------------------------------------------------------------------------
+# shared fragments (Spark SQL dialect + DuckDB dialect, kept side by side)
+# ---------------------------------------------------------------------------
+
+# whitespace-tokenized words, empties dropped
+WORDS_S = "filter(split(text, ' '), x -> x <> '')"
+WORDS_D = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+# word 3-gram shingles over a `words` column (Spark arrays are 0-based,
+# DuckDB 1-based; both emit shingle i = words[i..i+2] in order)
+SHINGLES_S = (
+    "CASE WHEN size(words) >= 3 THEN "
+    "transform(sequence(0, size(words) - 3), "
+    "i -> concat(words[i], ' ', words[i+1], ' ', words[i+2])) "
+    "ELSE array() END"
+)
+SHINGLES_D = (
+    "list_transform(range(1, len(words) - 1), "
+    "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"
+)
+
+N_MINHASH = 8      # minhash permutations (seeded md5 re-hash)
+N_BANDS = 4        # LSH bands of 2 rows each
+
+
+def _minhash_s(j: int) -> str:
+    return f"array_min(transform(sh, s -> md5(concat('mh{j}|', s))))"
+
+
+def _minhash_d(j: int) -> str:
+    return f"list_min(list_transform(sh, s -> md5('mh{j}|' || s)))"
+
+
+def _band_s(b: int) -> str:
+    return f"md5(concat({_minhash_s(2 * b)}, {_minhash_s(2 * b + 1)}))"
+
+
+def _band_d(b: int) -> str:
+    return f"md5({_minhash_d(2 * b)} || {_minhash_d(2 * b + 1)})"
+
+
+# near-dup document working set: every doc_id % 7 == 0 gets a copy
+# (doc_id + 2000000) truncated to its first 80% of words → shingle-set
+# Jaccard ≈ 0.75 vs the original, a guaranteed engineered near-dup.
+TRUNC_S = ("array_join(slice(words, 1, (size(words) * 4) div 5), ' ')")
+TRUNC_D = ("array_to_string(words[1:((len(words) * 4) // 5)], ' ')")
+
+NEARDUP_CORPUS_D = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, {TRUNC_D} AS text
+  FROM (SELECT doc_id, {WORDS_D} AS words FROM documents WHERE doc_id % 7 = 0))
+"""
+
+
+def _neardup_corpus_s(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    trunc = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", F.expr(WORDS_S).alias("words"))
+        .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                F.expr(TRUNC_S).alias("text"))
+    )
+    return d.unionByName(trunc)
+
+
+# ---------------------------------------------------------------------------
+# D1. Exact dedup — hash groupBy (one shuffle, partial agg map-side)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    sql="""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0)
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_doc_id
+    FROM all_docs GROUP BY md5(text) HAVING COUNT(*) > 1
+    """,
+    doc="exact dedup: md5(text) groupBy keep-min-id; scales as one shuffle "
+        "with map-side combine (working set = docs ∪ exact copies of doc_id%5==0)",
+)
+def dedup_exact(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (d.filter(F.col("doc_id") % 5 == 0)
+              .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return (
+        d.unionByName(copies)
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("canonical_doc_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2. MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_minhash_signatures",
+    sql=f"""
+    WITH w AS (SELECT doc_id, {WORDS_D} AS words FROM documents),
+    s AS (SELECT doc_id, {SHINGLES_D} AS sh FROM w)
+    SELECT doc_id, len(sh) AS n_shingles,
+           {_minhash_d(0)} AS mh0, {_minhash_d(1)} AS mh1,
+           {_band_d(0)} AS band0, {_band_d(1)} AS band1,
+           {_band_d(2)} AS band2, {_band_d(3)} AS band3
+    FROM s WHERE len(sh) >= 1
+    """,
+    doc="MinHash over word-3-gram shingles (8 seeded md5 permutations) + "
+        "4-band LSH keys; per-row narrow compute, no shuffle",
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    d = (t(spark, sf_dir, "documents")
+         .select("doc_id", F.expr(WORDS_S).alias("words"))
+         .select("doc_id", F.expr(SHINGLES_S).alias("sh"))
+         .filter(F.size("sh") >= 1))
+    return d.select(
+        "doc_id", F.size("sh").alias("n_shingles"),
+        F.expr(_minhash_s(0)).alias("mh0"), F.expr(_minhash_s(1)).alias("mh1"),
+        F.expr(_band_s(0)).alias("band0"), F.expr(_band_s(1)).alias("band1"),
+        F.expr(_band_s(2)).alias("band2"), F.expr(_band_s(3)).alias("band3"),
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    sql=f"""
+    WITH {NEARDUP_CORPUS_D},
+    sigs AS (
+      SELECT doc_id, list_distinct(sh) AS shset,
+             [{_band_d(0)}, {_band_d(1)}, {_band_d(2)}, {_band_d(3)}] AS bands
+      FROM (SELECT doc_id, {SHINGLES_D} AS sh
+            FROM (SELECT doc_id, {WORDS_D} AS words FROM corpus))
+      WHERE len(sh) >= 1),
+    exploded AS (
+      SELECT doc_id, shset, i AS band_idx, bands[i] AS band_hash
+      FROM sigs, unnest(range(1, 5)) AS u(i)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.shset AS sa, b.shset AS sb
+      FROM exploded a JOIN exploded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, n_inter, n_union
+    FROM (SELECT doc_a, doc_b, len(list_intersect(sa, sb)) AS n_inter,
+                 len(sa) + len(sb) - len(list_intersect(sa, sb)) AS n_union
+          FROM cand)
+    WHERE n_inter * 2 >= n_union
+    """,
+    doc="MinHash-LSH near-dup pairs: band-hash equi-join blocks candidates "
+        "(never O(n²)), exact shingle-Jaccard >= 0.5 verifies inside blocks; "
+        "working set = docs ∪ 80%%-truncated copies of doc_id%%7==0",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    corpus = _neardup_corpus_s(spark, sf_dir)
+    # minhashes once as columns (each is a full md5 pass over the shingles —
+    # building bands directly from _band_s would run every pass twice),
+    # then bands from the mh columns
+    sigs = (
+        corpus.select("doc_id", F.expr(WORDS_S).alias("words"))
+        .select("doc_id", F.expr(SHINGLES_S).alias("sh"))
+        .filter(F.size("sh") >= 1)
+        .select("doc_id", F.array_distinct("sh").alias("shset"),
+                *[F.expr(_minhash_s(j)).alias(f"mh{j}") for j in range(N_MINHASH)])
+        .select("doc_id", "shset",
+                F.array(*[F.md5(F.concat(f"mh{2 * b}", f"mh{2 * b + 1}"))
+                          for b in range(N_BANDS)]).alias("bands"))
+    )
+    # the signature table is referenced 4× below (both self-join branches +
+    # both verify re-joins); at scale you'd write it out once — here persist
+    # so the 8-pass minhash isn't recomputed per branch
+    sigs = sigs.persist()
+    # candidate pairs carry bare ids only — the distinct never shuffles the
+    # shingle arrays; sets are re-joined just for the verify step
+    ex = sigs.select("doc_id", F.posexplode("bands").alias("band_idx", "band_hash"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
+    n_inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", n_inter.alias("n_inter"),
+                (F.size("sa") + F.size("sb") - n_inter).alias("n_union"))
+        .filter(F.col("n_inter") * 2 >= F.col("n_union"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# D3. SimHash near-dup (16-bit signature, hamming distance on engineered pairs)
+# ---------------------------------------------------------------------------
+
+def _simhash_expr(dialect: str) -> str:
+    """16-bit simhash over a column `hs` = array of per-word md5 hex strings.
+
+    Bit j votes +1/-1 on the parity of hex digit j of each word hash;
+    bit set iff the vote sum is strictly positive.
+    """
+    terms = []
+    for j in range(16):
+        digit = f"substr(h, {j + 1}, 1)"
+        if dialect == "spark":
+            nib = f"(instr('0123456789abcdef', {digit}) - 1)"
+            vote = (f"aggregate(hs, 0, (acc, h) -> acc + "
+                    f"(CASE WHEN {nib} % 2 = 1 THEN 1 ELSE -1 END))")
+        else:
+            nib = f"(strpos('0123456789abcdef', {digit}) - 1)"
+            vote = (f"CAST(list_sum(list_transform(hs, h -> "
+                    f"CASE WHEN {nib} % 2 = 1 THEN 1 ELSE -1 END)) AS INT)")
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST((" + " + ".join(terms) + ") AS INT)"
+
+
+@register(
+    "dedup_simhash",
+    sql=f"""
+    WITH {NEARDUP_CORPUS_D},
+    sigs AS (
+      SELECT doc_id, {_simhash_expr('duck')} AS simhash
+      FROM (SELECT doc_id, list_transform({WORDS_D}, w -> md5(w)) AS hs
+            FROM corpus)
+      WHERE len(hs) >= 1)
+    SELECT o.doc_id AS doc_a, c.doc_id AS doc_b,
+           o.simhash AS sim_a, c.simhash AS sim_b,
+           bit_count(xor(o.simhash, c.simhash)) AS hamming,
+           bit_count(xor(o.simhash, c.simhash)) <= 3 AS is_near
+    FROM sigs o JOIN sigs c ON c.doc_id = o.doc_id + 2000000
+    """,
+    doc="SimHash (16-bit, hex-digit-parity votes over word md5s) + hamming "
+        "distance on engineered original/truncated pairs; near iff <= 3 bits",
+)
+def dedup_simhash(spark, sf_dir):
+    corpus = _neardup_corpus_s(spark, sf_dir)
+    sigs = (
+        corpus.select("doc_id", F.expr(f"transform({WORDS_S}, w -> md5(w))").alias("hs"))
+        .filter(F.size("hs") >= 1)
+        .select("doc_id", F.expr(_simhash_expr("spark")).alias("simhash"))
+    )
+    o, c = sigs.alias("o"), sigs.alias("c")
+    ham = F.expr("bit_count(o.simhash ^ c.simhash)").cast("int")
+    return (
+        o.join(c, F.col("c.doc_id") == F.col("o.doc_id") + 2000000)
+        .select(F.col("o.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"),
+                F.col("o.simhash").alias("sim_a"), F.col("c.simhash").alias("sim_b"),
+                ham.alias("hamming"), (ham <= 3).alias("is_near"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# D4. n-gram Jaccard with inverted-index blocking (shared-shingle join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_ngram_jaccard",
+    sql=f"""
+    WITH {NEARDUP_CORPUS_D},
+    s AS (
+      SELECT doc_id, list_distinct({SHINGLES_D}) AS shset
+      FROM (SELECT doc_id, {WORDS_D} AS words FROM corpus)
+      WHERE len(words) >= 3),
+    inv AS (SELECT doc_id, unnest(shset) AS shingle FROM s),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, n_inter, n_union,
+           CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+    FROM (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.shset, sb.shset)) AS n_inter,
+             len(sa.shset) + len(sb.shset)
+               - len(list_intersect(sa.shset, sb.shset)) AS n_union
+      FROM cand c JOIN s sa ON sa.doc_id = c.doc_a JOIN s sb ON sb.doc_id = c.doc_b)
+    WHERE n_inter * 10 >= 3 * n_union
+    """,
+    doc="n-gram Jaccard near-dup via inverted shingle index: explode distinct "
+        "shingles, equi-join on shingle (candidates = pairs sharing >=1 "
+        "shingle), exact Jaccard >= 0.3 verify — the classic similarity-join "
+        "plan that avoids the cross product",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    corpus = _neardup_corpus_s(spark, sf_dir)
+    s = (
+        corpus.select("doc_id", F.expr(WORDS_S).alias("words"))
+        .filter(F.size("words") >= 3)
+        .select("doc_id", F.array_distinct(F.expr(SHINGLES_S)).alias("shset"))
+    ).persist()  # referenced 3× (inverted index + both verify re-joins)
+    inv = s.select("doc_id", F.explode("shset").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
+    n_inter = F.size(F.array_intersect("sa", "sb"))
+    n_union = F.size("sa") + F.size("sb") - n_inter
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", n_inter.alias("n_inter"), n_union.alias("n_union"))
+        .filter(F.col("n_inter") * 10 >= 3 * F.col("n_union"))
+        .withColumn("jaccard",
+                    F.col("n_inter").cast("double") / F.col("n_union").cast("double"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (quantized-exact cosine)
+# ---------------------------------------------------------------------------
+
+# float32 → int64 quantization: floor is tie-free, so both engines agree
+QUANT_S = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+QUANT_D = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+
+# exact int64 dot product of two quantized vectors qa, qb
+DOT_S = "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+DOT_D = ("CAST(list_sum(list_transform(range(1, len(qa) + 1), "
+         "i -> qa[i] * qb[i])) AS BIGINT)")
+NORM_D = ("CAST(list_sum(list_transform(range(1, len(q) + 1), "
+          "i -> q[i] * q[i])) AS BIGINT)")
+
+# cosine from exact ints: correctly-rounded IEEE double in both engines
+COS = "CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
+
+
+@register(
+    "ann_topk_cosine",
+    sql=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, {QUANT_D} AS qv,
+             (SELECT {NORM_D} FROM (SELECT {QUANT_D} AS q) x) AS nq
+      FROM embeddings WHERE vec_id < 3),
+    c AS (
+      SELECT vec_id, {QUANT_D} AS cv,
+             (SELECT {NORM_D} FROM (SELECT {QUANT_D} AS q) x) AS nc
+      FROM embeddings WHERE vec_id >= 3),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                  i -> q.qv[i] * c.cv[i])) AS DOUBLE)
+               / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE))) AS cos_sim
+      FROM q CROSS JOIN c)
+    SELECT query_id, rank, vec_id, cos_sim FROM (
+      SELECT query_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+    doc="brute-force cosine top-k ANN baseline: broadcast the (tiny) query "
+        "set against the full embedding table, exact int64-quantized dot, "
+        "per-query top-5 window with vec_id tie-break",
+)
+def ann_topk_cosine(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"), F.expr(QUANT_S).alias("qa"))
+         .withColumn("na", F.expr(
+             "aggregate(zip_with(qa, qa, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")))
+    c = (e.filter(F.col("vec_id") >= 3)
+         .select("vec_id", F.expr(QUANT_S).alias("qb"))
+         .withColumn("nb", F.expr(
+             "aggregate(zip_with(qb, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("dot", F.expr(DOT_S))
+        .withColumn("cos_sim", F.expr(COS))
+        .select("query_id", "vec_id", "cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "rank", "vec_id", "cos_sim"))
+
+
+# deterministic ±1 hyperplanes for sign-LSH: component j of plane h is
+# +1 iff (j * (h + 2)) % 5 < 2  (1-based j; identical expression both engines)
+def _plane_dot(vec: str, h: int, dialect: str) -> str:
+    if dialect == "spark":
+        return (f"aggregate(transform(sequence(1, size({vec})), "
+                f"j -> CASE WHEN (j * {h + 2}) % 5 < 2 THEN element_at({vec}, j) "
+                f"ELSE -element_at({vec}, j) END), 0L, (acc, v) -> acc + v)")
+    return (f"CAST(list_sum(list_transform(range(1, len({vec}) + 1), "
+            f"j -> CASE WHEN (j * {h + 2}) % 5 < 2 THEN {vec}[j] "
+            f"ELSE -{vec}[j] END)) AS BIGINT)")
+
+
+def _bucket_expr(vec: str, dialect: str) -> str:
+    bits = [f"(CASE WHEN {_plane_dot(vec, h, dialect)} > 0 THEN {1 << h} ELSE 0 END)"
+            for h in range(4)]
+    return "CAST((" + " + ".join(bits) + ") AS INT)"
+
+
+@register(
+    "ann_lsh_bucketed",
+    sql=f"""
+    WITH e AS (
+      SELECT vec_id, {QUANT_D} AS qv FROM embeddings),
+    b AS (
+      SELECT vec_id, qv, {_bucket_expr('qv', 'duck')} AS bucket,
+             (SELECT {NORM_D} FROM (SELECT qv AS q) x) AS nrm
+      FROM e),
+    q AS (SELECT vec_id AS query_id, qv AS qa, bucket, nrm AS na
+          FROM b WHERE vec_id < 3),
+    c AS (SELECT vec_id, qv AS cv, bucket, nrm AS nc FROM b WHERE vec_id >= 3),
+    scored AS (
+      SELECT q.query_id, q.bucket, c.vec_id,
+             CAST(list_sum(list_transform(range(1, len(q.qa) + 1),
+                  i -> q.qa[i] * c.cv[i])) AS DOUBLE)
+               / (sqrt(CAST(q.na AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE))) AS cos_sim
+      FROM q JOIN c ON q.bucket = c.bucket)
+    SELECT query_id, bucket, rank, vec_id, cos_sim FROM (
+      SELECT query_id, bucket, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+    doc="sign-LSH bucketed ANN (the scale path): 4 deterministic ±1 "
+        "hyperplanes → 16 buckets; candidates come from an equi-join on "
+        "bucket id instead of a cross join, then exact cosine top-5",
+)
+def ann_lsh_bucketed(spark, sf_dir):
+    e = (t(spark, sf_dir, "embeddings")
+         .select("vec_id", F.expr(QUANT_S).alias("qv")))
+    b = (e.withColumn("bucket", F.expr(_bucket_expr("qv", "spark")))
+         .withColumn("nrm", F.expr(
+             "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")))
+    q = (b.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"),
+                 "bucket", F.col("nrm").alias("na")))
+    c = (b.filter(F.col("vec_id") >= 3)
+         .select("vec_id", F.col("qv").alias("qb"), "bucket",
+                 F.col("nrm").alias("nb")))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .withColumn("dot", F.expr(DOT_S))
+        .withColumn("cos_sim", F.expr(COS))
+        .select("query_id", "bucket", "vec_id", "cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "bucket", "rank", "vec_id", "cos_sim"))
+
+
+@register(
+    "ann_ivf_probe",
+    sql=f"""
+    WITH e AS (SELECT vec_id, label, {QUANT_D} AS qv FROM embeddings),
+    dims AS (
+      SELECT label, i AS dim, AVG(qv[i]) AS cval
+      FROM e, unnest(range(1, 65)) AS u(i) GROUP BY label, i),
+    cent AS (
+      SELECT label, array_agg(cval ORDER BY dim) AS cv FROM dims GROUP BY label),
+    q AS (
+      SELECT vec_id AS query_id, qv AS qa,
+             (SELECT {NORM_D} FROM (SELECT qv AS q) x) AS na
+      FROM e WHERE vec_id < 3),
+    probe AS (
+      SELECT query_id, label FROM (
+        SELECT q.query_id, cent.label,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 CAST(list_sum(list_transform(range(1, 65),
+                      i -> CAST(q.qa[i] AS DOUBLE) * cent.cv[i])) AS DOUBLE)
+                   / sqrt(CAST(list_sum(list_transform(range(1, 65),
+                          i -> cent.cv[i] * cent.cv[i])) AS DOUBLE)) DESC,
+                 cent.label ASC) AS rn
+        FROM q CROSS JOIN cent) WHERE rn <= 2),
+    scored AS (
+      SELECT q.query_id, e.label, e.vec_id,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> q.qa[i] * e.qv[i])) AS DOUBLE)
+               / (sqrt(CAST(q.na AS DOUBLE))
+                  * sqrt(CAST((SELECT {NORM_D} FROM (SELECT e.qv AS q) x) AS DOUBLE)))
+               AS cos_sim
+      FROM q JOIN probe p ON p.query_id = q.query_id
+      JOIN e ON e.label = p.label AND e.vec_id >= 3)
+    SELECT query_id, rank, vec_id, label, cos_sim FROM (
+      SELECT query_id, vec_id, label, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+    doc="IVF-style ANN: label-partitioned cells, exact-int centroid per cell, "
+        "probe the 2 nearest cells per query, exact cosine top-5 inside the "
+        "probed cells only — search cost scales with probed fraction, not n",
+)
+def ann_ivf_probe(spark, sf_dir):
+    e = (t(spark, sf_dir, "embeddings")
+         .select("vec_id", "label", F.expr(QUANT_S).alias("qv")))
+    dims = (e.select("label", F.posexplode("qv").alias("dim0", "val"))
+            .groupBy("label", "dim0").agg(F.avg("val").alias("cval")))
+    cent = (dims.groupBy("label")
+            .agg(F.transform(F.array_sort(F.collect_list(F.struct("dim0", "cval"))),
+                             lambda s: s["cval"]).alias("cv")))
+    q = (e.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"))
+         .withColumn("na", F.expr(
+             "aggregate(zip_with(qa, qa, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")))
+    qc = q.crossJoin(F.broadcast(cent))
+    cent_cos = F.expr(
+        "aggregate(zip_with(qa, cv, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / "
+        "sqrt(aggregate(zip_with(cv, cv, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+    wp = W.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("label"))
+    probe = (qc.withColumn("ccos", cent_cos)
+             .withColumn("rn", F.row_number().over(wp))
+             .filter(F.col("rn") <= 2).select("query_id", "label"))
+    cand = (e.filter(F.col("vec_id") >= 3)
+            .withColumnRenamed("qv", "qb")
+            .withColumn("nb", F.expr(
+                "aggregate(zip_with(qb, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")))
+    scored = (
+        cand.join(F.broadcast(probe), "label")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("dot", F.expr(DOT_S))
+        .withColumn("cos_sim", F.expr(COS))
+        .select("query_id", "vec_id", "label", "cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "rank", "vec_id", "label", "cos_sim"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    sql=f"""
+    WITH base AS (
+      SELECT vec_id, {QUANT_D} AS qv FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id,
+             list_transform(range(1, 65),
+               i -> CASE WHEN i <= 8
+                    THEN CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 * 0.9)
+                              AS BIGINT)
+                    ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+                    END) AS qv
+      FROM embeddings WHERE vec_id % 4 = 0),
+    b AS (
+      SELECT vec_id, qv, {_bucket_expr('qv', 'duck')} AS bucket,
+             (SELECT {NORM_D} FROM (SELECT qv AS q) x) AS nrm
+      FROM base)
+    SELECT vec_a, vec_b, cos_sim FROM (
+      SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> a.qv[i] * b2.qv[i])) AS DOUBLE)
+               / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b2.nrm AS DOUBLE))) AS cos_sim
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+    WHERE cos_sim >= 0.98
+    """,
+    doc="embedding-cosine near-dup: sign-LSH bucket blocking then exact "
+        "quantized cosine >= 0.98 inside buckets; working set = embeddings ∪ "
+        "slightly-perturbed copies (first 8 dims × 0.9) of vec_id%%4==0",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    perturbed = F.expr(
+        "transform(sequence(1, 64), i -> CASE WHEN i <= 8 "
+        "THEN CAST(floor(CAST(element_at(embedding, i) AS DOUBLE) * 10000 * 0.9) AS BIGINT) "
+        "ELSE CAST(floor(CAST(element_at(embedding, i) AS DOUBLE) * 10000) AS BIGINT) END)")
+    base = (
+        e.select("vec_id", F.expr(QUANT_S).alias("qv"))
+        .unionByName(
+            e.filter(F.col("vec_id") % 4 == 0)
+            .select((F.col("vec_id") + 100000).alias("vec_id"),
+                    perturbed.alias("qv")))
+    )
+    b = (base.withColumn("bucket", F.expr(_bucket_expr("qv", "spark")))
+         .withColumn("nrm", F.expr(
+             "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")))
+    a = b.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"),
+                 "bucket", F.col("nrm").alias("na"))
+    c = b.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"),
+                 "bucket", F.col("nrm").alias("nb"))
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dot", F.expr(DOT_S))
+        .withColumn("cos_sim", F.expr(COS))
+        .filter(F.col("cos_sim") >= 0.98)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language-ID, quality score, token counts, fingerprint
+# ---------------------------------------------------------------------------
+
+STOPS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "y", "es", "un", "los"),
+    "fr": ("le", "et", "est", "une", "les", "dans"),
+}
+
+
+def _hits(lang: str, dialect: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPS[lang])
+    if dialect == "spark":
+        return f"size(filter(words, x -> x IN ({lst})))"
+    return f"len(list_filter(words, x -> x IN ({lst})))"
+
+
+@register(
+    "text_lang_id",
+    sql=f"""
+    WITH w AS (SELECT doc_id, lang, {WORDS_D} AS words FROM documents),
+    h AS (SELECT doc_id, lang, len(words) AS n_words,
+                 {_hits('en', 'duck')} AS en_hits, {_hits('de', 'duck')} AS de_hits,
+                 {_hits('es', 'duck')} AS es_hits, {_hits('fr', 'duck')} AS fr_hits
+          FROM w)
+    SELECT doc_id, lang, n_words, en_hits, de_hits, es_hits, fr_hits,
+           CASE WHEN en_hits >= de_hits AND en_hits >= es_hits
+                     AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+                WHEN de_hits >= es_hits AND de_hits >= fr_hits
+                     AND de_hits > 0 THEN 'de'
+                WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+                WHEN fr_hits > 0 THEN 'fr'
+                ELSE 'unknown' END AS pred_lang
+    FROM h
+    """,
+    doc="language-ID heuristic: per-language stopword occurrence counts with "
+        "a deterministic argmax ladder; narrow per-row compute, no shuffle",
+)
+def text_lang_id(spark, sf_dir):
+    d = (t(spark, sf_dir, "documents")
+         .select("doc_id", "lang", F.expr(WORDS_S).alias("words")))
+    h = d.select(
+        "doc_id", "lang", F.size("words").alias("n_words"),
+        F.expr(_hits("en", "spark")).alias("en_hits"),
+        F.expr(_hits("de", "spark")).alias("de_hits"),
+        F.expr(_hits("es", "spark")).alias("es_hits"),
+        F.expr(_hits("fr", "spark")).alias("fr_hits"),
+    )
+    en, de, es, fr = [F.col(f"{x}_hits") for x in ("en", "de", "es", "fr")]
+    pred = (F.when((en >= de) & (en >= es) & (en >= fr) & (en > 0), "en")
+            .when((de >= es) & (de >= fr) & (de > 0), "de")
+            .when((es >= fr) & (es > 0), "es")
+            .when(fr > 0, "fr")
+            .otherwise("unknown"))
+    return h.withColumn("pred_lang", pred)
+
+
+@register(
+    "text_quality_score",
+    sql=f"""
+    WITH w AS (SELECT doc_id, text, {WORDS_D} AS words FROM documents)
+    SELECT doc_id, n_chars, n_words, n_stop, n_punct,
+           CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio,
+           CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) AS alpha_ratio,
+           (n_words >= 5 AND n_chars >= 40
+            AND n_stop * 100 >= 2 * n_words
+            AND n_punct * 10 <= n_words) AS is_quality
+    FROM (
+      SELECT doc_id, length(text) AS n_chars, len(words) AS n_words,
+             {_hits('en', 'duck')} AS n_stop,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+      FROM w) WHERE n_words > 0 AND n_chars > 0
+    """,
+    doc="quality scoring: length / stopword-ratio / punctuation-density / "
+        "alpha-ratio features with integer cross-multiplied gates",
+)
+def text_quality_score(spark, sf_dir):
+    d = (t(spark, sf_dir, "documents")
+         .select("doc_id", "text", F.expr(WORDS_S).alias("words")))
+    feats = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size("words").alias("n_words"),
+        F.expr(_hits("en", "spark")).alias("n_stop"),
+        F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).alias("n_punct"),
+        F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).alias("n_alpha"),
+    ).filter((F.col("n_words") > 0) & (F.col("n_chars") > 0))
+    return feats.select(
+        "doc_id", "n_chars", "n_words", "n_stop", "n_punct",
+        (F.col("n_stop").cast("double") / F.col("n_words").cast("double")
+         ).alias("stop_ratio"),
+        (F.col("n_alpha").cast("double") / F.col("n_chars").cast("double")
+         ).alias("alpha_ratio"),
+        ((F.col("n_words") >= 5) & (F.col("n_chars") >= 40)
+         & (F.col("n_stop") * 100 >= 2 * F.col("n_words"))
+         & (F.col("n_punct") * 10 <= F.col("n_words"))).alias("is_quality"),
+    )
+
+
+BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_token_count",
+    sql=f"""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{BPE_PAT}')) AS n_bpe_tokens,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+    doc="token counting: whitespace tokens + BPE-ish regex tokens "
+        "(alpha runs / digit runs / single punctuation) + utf8 byte length",
+)
+def text_token_count(spark, sf_dir):
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"size({WORDS_S})").alias("n_ws_tokens"),
+        # F.lit avoids SQL-literal backslash escaping (\s must reach the regex)
+        F.regexp_count("text", F.lit(BPE_PAT)).alias("n_bpe_tokens"),
+        F.octet_length("text").alias("n_bytes"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    sql=f"""
+    WITH w AS (SELECT doc_id, {WORDS_D} AS words FROM documents),
+    kg AS (
+      SELECT doc_id,
+             list_transform(range(1, len(words) - 2),
+               i -> md5(words[i] || ' ' || words[i+1] || ' '
+                        || words[i+2] || ' ' || words[i+3])) AS kh
+      FROM w WHERE len(words) >= 6),
+    fp AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(kh) - 1),
+               i -> least(kh[i], kh[i+1], kh[i+2]))) AS fps
+      FROM kg)
+    SELECT doc_id, len(fps) AS n_fps,
+           list_min(fps) AS fp_min, list_max(fps) AS fp_max
+    FROM fp
+    """,
+    doc="document fingerprinting (winnowing): word-4-gram rolling md5 hashes, "
+        "min per sliding window of 3, distinct fingerprint set — the standard "
+        "near-copy sketch; per-row compute only",
+)
+def text_fingerprint(spark, sf_dir):
+    kh = ("CASE WHEN size(words) >= 6 THEN "
+          "transform(sequence(0, size(words) - 4), "
+          "i -> md5(concat(words[i], ' ', words[i+1], ' ', words[i+2], ' ', words[i+3]))) "
+          "ELSE array() END")
+    fps = ("array_distinct(transform(sequence(0, size(kh) - 3), "
+           "i -> least(kh[i], kh[i+1], kh[i+2])))")
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(WORDS_S).alias("words"))
+        .filter(F.size("words") >= 6)
+        .select("doc_id", F.expr(kh).alias("kh"))
+        .select("doc_id", F.expr(fps).alias("fps"))
+        .select("doc_id", F.size("fps").alias("n_fps"),
+                F.array_min("fps").alias("fp_min"), F.array_max("fps").alias("fp_max"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: opaque binary columns + typed metadata (relational leg)
+# ---------------------------------------------------------------------------
+
+@register(
+    "media_metadata",
+    sql="""
+    SELECT doc_id,
+           'media://' || md5(text) AS media_ref,
+           octet_length(encode(text)) AS n_bytes,
+           1 + (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) % 4
+             AS width_class,
+           1 + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) % 3
+             AS height_class
+    FROM documents
+    """,
+    doc="multimodal metadata projection: content-addressed media_ref + byte "
+        "length + typed size classes derived from the blob digest; the binary "
+        "decode itself is the Arrow-batched stub in operators/multimodal.py",
+)
+def media_metadata(spark, sf_dir):
+    h = F.md5("text")
+    nib = lambda i: (F.expr(f"instr('0123456789abcdef', substr(md5(text), {i}, 1))") - 1)
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("media://"), h).alias("media_ref"),
+        F.octet_length("text").alias("n_bytes"),
+        (1 + nib(1) % 4).alias("width_class"),
+        (1 + nib(2) % 3).alias("height_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries (non-SQL-expressible: Arrow-batched pandas stages)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_features",
+    sql=None,  # mapInPandas decode is not SQL-expressible; rows-only check
+    doc="multimodal decode plumbing: binary blob + kind → Arrow-batched "
+        "feature extraction (operators/multimodal.py); decode stubbed "
+        "deterministically, Spark plumbing real",
+)
+def multimodal_features(spark, sf_dir):
+    from .operators.multimodal import documents_as_media, media_features
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return media_features(documents_as_media(docs)).drop("feat")
+
+
+@register(
+    "extract_pipeline",
+    sql=None,  # the per-doc heuristic chain is not SQL-expressible;
+               # exact-parity is enforced by tests/test_extract_spark.py
+               # against the pure-Python oracle (BASELINE.json north_rule)
+    doc="flagship: full interleaved-document extraction (SURVEY.md §2.2-§2.10 "
+        "chain inside one Arrow-batched stage, skew-salted, one shuffle); "
+        "corpus derived deterministically from the driver documents parquet",
+)
+def extract_pipeline(spark, sf_dir):
+    from .operators.extraction import INPUT_SCHEMA, extract_operator
+
+    from . import gen
+
+    def derive(it):
+        import pandas as pd
+        for pdf in it:
+            rows = [gen.doc_from_driver_row(i, txt)
+                    for i, txt in zip(pdf["doc_id"], pdf["text"])]
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    docs = (t(spark, sf_dir, "documents").select("doc_id", "text")
+            .mapInPandas(derive, schema=INPUT_SCHEMA))
+    out = extract_operator(docs)
+    return (out.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+            .select("doc_id", F.col("s.kind").alias("kind"),
+                    F.col("s.text").alias("text"),
+                    F.col("s.media_ref").alias("media_ref"),
+                    F.col("s.offset").alias("offset")))

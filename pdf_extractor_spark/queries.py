@@ -456,3 +456,9 @@ def u1_distinct_keys(spark, sf_dir):
     return (t(spark, sf_dir, "events").groupBy("event_type")
             .agg(F.countDistinct("user_id").alias("n_users"),
                  F.count("*").alias("n_events")))
+
+
+# populate REGISTRY with the training-data corpus operators (dedup /
+# similarity / text-analysis / multimodal) — import is at the bottom so
+# `register` and `t` exist when corpus.py binds them
+from . import corpus  # noqa: E402,F401  (registry side-effect import)
