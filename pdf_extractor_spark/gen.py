@@ -199,14 +199,19 @@ def _gen_mixed(rng: random.Random, vocab: list[str], doc_id: str) -> list[dict]:
 
 
 def gen_doc(doc_id: str, seed: int = 42, vocab: list[str] | None = None,
-            archetype: str | None = None) -> dict:
-    """Generate one document row, fully determined by (seed, doc_id)."""
+            archetype: str | None = None, jumbo_rate: float = 0.005) -> dict:
+    """Generate one document row, fully determined by (seed, doc_id).
+
+    ``jumbo_rate`` scales the heavy-document share (same rng stream as the
+    default, so seed-42 corpora are unchanged); the scaling bench raises it
+    so per-doc compute resembles real multi-page PDF parsing.
+    """
     rng = random.Random(f"{seed}:{doc_id}")
     vocab = vocab or BODY_WORDS
     vocab = [w for w in vocab if w] or BODY_WORDS
     if archetype is None:
         archetype = rng.choices(ARCHETYPES, weights=ARCHETYPE_WEIGHTS, k=1)[0]
-    jumbo = rng.random() < 0.005
+    jumbo = rng.random() < jumbo_rate
     if archetype == "report":
         spans = _gen_report(rng, vocab, jumbo)
     elif archetype == "form":
@@ -228,9 +233,10 @@ def gen_doc(doc_id: str, seed: int = 42, vocab: list[str] | None = None,
     return {"doc_id": doc_id, "spans": spans}
 
 
-def gen_corpus(n_docs: int, seed: int = 42) -> list[dict]:
+def gen_corpus(n_docs: int, seed: int = 42, jumbo_rate: float = 0.005) -> list[dict]:
     """Generate ``n_docs`` rows: doc-id keyed, seed-stable, archetype-mixed."""
-    return [gen_doc(f"doc-{i:07d}", seed=seed) for i in range(n_docs)]
+    return [gen_doc(f"doc-{i:07d}", seed=seed, jumbo_rate=jumbo_rate)
+            for i in range(n_docs)]
 
 
 def doc_from_driver_row(doc_id, text: str, seed: int = 42) -> dict:

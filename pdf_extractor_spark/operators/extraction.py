@@ -99,7 +99,11 @@ def extract_operator(df: DataFrame, num_partitions: int | None = None) -> DataFr
         cores = df.sparkSession.sparkContext.defaultParallelism
         num_partitions = 4 * cores
     salted = with_partition_id(df.select("doc_id", "spans"), num_partitions)
-    # range-partition on part_id: near 1:1 task<->part_id mapping (hash-of-hash
-    # would fold multiple part_ids into one task and re-introduce imbalance)
-    balanced = salted.repartitionByRange(2 * num_partitions, "part_id", "doc_id")
+    # AQE REBALANCE by part_id: one exchange, no range-sampling pass (a
+    # repartitionByRange would decode the whole spans column a second time
+    # just to sample split points), and AQE splits oversized shuffle
+    # partitions — splitting a part_id across tasks is safe because the
+    # extraction is per-doc and the partitioned write just emits one more
+    # file into that part_id's directory
+    balanced = salted.hint("rebalance", "part_id")
     return balanced.mapInPandas(_extract_batches, schema=OUTPUT_SCHEMA)

@@ -462,3 +462,4 @@ def u1_distinct_keys(spark, sf_dir):
 # similarity / text-analysis / multimodal) — import is at the bottom so
 # `register` and `t` exist when corpus.py binds them
 from . import corpus  # noqa: E402,F401  (registry side-effect import)
+from . import windowed  # noqa: E402,F401  (registry side-effect import)

@@ -1,0 +1,283 @@
+"""Windowed / 1B-surface operators: W3 consecutive merge, B2 chunking,
+B6 multi-factor ranking (SURVEY.md §2.5 / §2.11).
+
+The extraction pipeline runs W3 inside the per-doc pandas group (greedy
+pairwise scan, reference `extractor.py:574-626`); this module additionally
+expresses the same greedy no-transitive-chain semantics *relationally* — a
+gaps-and-islands window plan that scales as ordinary shuffles — so the
+operator family is verifiable against a DuckDB oracle too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .queries import register, t
+
+
+@register(
+    "w3_consecutive_merge",
+    sql="""
+    WITH base AS (
+      SELECT user_id, event_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS idx
+      FROM events),
+    flagged AS (
+      SELECT *,
+             (LEAD(event_type) OVER w = event_type
+              AND DATEDIFF('second', ts, LEAD(ts) OVER w) < 300) AS m
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY idx)),
+    islands AS (
+      -- greedy pairwise semantics: within a run of consecutive merge flags,
+      -- merges fire at run positions 0,2,4,... (one lookahead, no chains)
+      SELECT user_id, idx,
+             ROW_NUMBER() OVER (PARTITION BY user_id, idx - rn_true
+                                ORDER BY idx) - 1 AS pos_in_run
+      FROM (SELECT user_id, idx,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY idx) AS rn_true
+            FROM flagged WHERE m)),
+    eff AS (
+      SELECT f.user_id, f.idx, f.event_id, f.event_type, f.value,
+             COALESCE(i.pos_in_run % 2 = 0, FALSE) AS merge_eff,
+             LEAD(f.value) OVER (PARTITION BY f.user_id ORDER BY f.idx) AS next_value,
+             LEAD(f.event_id) OVER (PARTITION BY f.user_id ORDER BY f.idx)
+               AS next_event_id
+      FROM flagged f LEFT JOIN islands i
+        ON i.user_id = f.user_id AND i.idx = f.idx),
+    final AS (
+      SELECT *,
+             COALESCE(LAG(merge_eff) OVER (PARTITION BY user_id ORDER BY idx),
+                      FALSE) AS consumed
+      FROM eff)
+    SELECT user_id, event_id, event_type,
+           CASE WHEN merge_eff
+                THEN CAST(CAST(value AS DECIMAL(18,2))
+                          + CAST(next_value AS DECIMAL(18,2)) AS DOUBLE)
+                ELSE CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) END AS merged_value,
+           CASE WHEN merge_eff THEN next_event_id ELSE NULL END AS absorbed_event_id
+    FROM final WHERE NOT consumed
+    """,
+    doc="W3 consecutive-merge (extractor.py:574-626) as a relational plan: "
+        "lead() merge predicate, gaps-and-islands parity for the greedy "
+        "one-lookahead no-chain rule, lag() consume flag — window shuffles "
+        "only, no per-row Python",
+)
+def w3_consecutive_merge(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    base = e.withColumn("idx", F.row_number().over(wo))
+    wi = W.partitionBy("user_id").orderBy("idx")
+    flagged = base.withColumn(
+        "m",
+        (F.lead("event_type").over(wi) == F.col("event_type"))
+        & ((F.unix_timestamp(F.lead("ts").over(wi)) - F.unix_timestamp("ts")) < 300),
+    )
+    trues = (flagged.filter("m")
+             .withColumn("rn_true", F.row_number().over(wi))
+             .withColumn("pos_in_run",
+                         F.row_number().over(
+                             W.partitionBy("user_id", F.col("idx") - F.col("rn_true"))
+                             .orderBy("idx")) - 1)
+             # rename before the self-join: trues derives from flagged, so
+             # unrenamed user_id/idx would resolve to the SAME attributes and
+             # the join predicate would be trivially true across users
+             .select(F.col("user_id").alias("t_user_id"),
+                     F.col("idx").alias("t_idx"), "pos_in_run"))
+    eff = (
+        flagged.join(trues,
+                     (flagged.user_id == trues.t_user_id)
+                     & (flagged.idx == trues.t_idx), "left")
+        .drop("t_user_id", "t_idx")
+        .withColumn("merge_eff", F.coalesce(F.col("pos_in_run") % 2 == 0, F.lit(False)))
+        .withColumn("next_value", F.lead("value").over(wi))
+        .withColumn("next_event_id", F.lead("event_id").over(wi))
+    )
+    final = eff.withColumn(
+        "consumed", F.coalesce(F.lag("merge_eff").over(wi), F.lit(False)))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        final.filter(~F.col("consumed"))
+        .select(
+            "user_id", "event_id", "event_type",
+            F.when(F.col("merge_eff"), (dec("value") + dec("next_value"))
+                   .cast("double"))
+             .otherwise(dec("value").cast("double")).alias("merged_value"),
+            F.when(F.col("merge_eff"), F.col("next_event_id"))
+             .otherwise(F.lit(None).cast("bigint")).alias("absorbed_event_id"),
+        )
+    )
+
+
+@register(
+    "b2_semantic_chunking",
+    sql="""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents),
+    c AS (
+      SELECT doc_id, len(words) AS n_words, u.c AS chunk_idx,
+             array_to_string(words[(u.c * 50 + 1):(u.c * 50 + 60)], ' ') AS chunk_text
+      FROM w, unnest(range(0, greatest(0, (len(words) - 11) // 50) + 1)) AS u(c)
+      WHERE len(words) > 0)
+    SELECT doc_id, chunk_idx, n_words,
+           chunk_idx * 50 AS start_word,
+           chunk_text, length(chunk_text) AS chunk_chars
+    FROM c
+    """,
+    doc="B2 semantic chunking (README.md:108-117): sliding 60-word windows "
+        "with 10-word overlap via explode(sequence) + slice — posexplode "
+        "over computed offsets, no UDF, no shuffle",
+)
+def b2_semantic_chunking(spark, sf_dir):
+    w = (t(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.expr("filter(split(text, ' '), x -> x <> '')").alias("words"))
+         .filter(F.size("words") > 0))
+    c = (w.select(
+            "doc_id", F.size("words").alias("n_words"), "words",
+            F.explode(F.expr(
+                "sequence(0, greatest(0, (size(words) - 11) div 50))")).alias("chunk_idx"))
+         .withColumn("chunk_text",
+                     F.expr("array_join(slice(words, chunk_idx * 50 + 1, 60), ' ')")))
+    return c.select(
+        "doc_id", "chunk_idx", "n_words",
+        (F.col("chunk_idx") * 50).alias("start_word"),
+        "chunk_text", F.length("chunk_text").alias("chunk_chars"),
+    )
+
+
+@register(
+    "b6_multifactor_rank",
+    sql="""
+    WITH f AS (
+      SELECT doc_id, source,
+             len(list_filter(list_filter(string_split(text,' '), x -> x <> ''),
+                 x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+             len(list_filter(string_split(text,' '), x -> x <> '')) AS n_words,
+             len(list_distinct(list_filter(string_split(text,' '), x -> x <> '')))
+               AS n_distinct,
+             n_chars
+      FROM documents),
+    s AS (
+      SELECT doc_id, source,
+             0.4 * (CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE))
+             + 0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE))
+             + 0.15 * (1.0 / CAST(1 + doc_id % 4 AS DOUBLE))
+             + 0.15 * (CAST(n_chars AS DOUBLE) / 600.0) AS score
+      FROM f WHERE n_words > 0)
+    SELECT source, importance_rank, doc_id, score FROM (
+      SELECT source, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id ASC) AS importance_rank
+      FROM s) WHERE importance_rank <= 5
+    """,
+    doc="B6/W5/K4 multi-factor importance ranking (README.md:156-172): "
+        "0.4·semantic + 0.3·tfidf-proxy + 0.15·structural + 0.15·contextual "
+        "weighted sum, per-source top-5 with deterministic tie-break",
+)
+def b6_multifactor_rank(spark, sf_dir):
+    words = F.expr("filter(split(text, ' '), x -> x <> '')")
+    stops = F.expr(
+        "size(filter(filter(split(text,' '), x -> x <> ''), "
+        "x -> x IN ('the','a','of','and','to','in','is','it')))")
+    f = (t(spark, sf_dir, "documents")
+         .select("doc_id", "source", "n_chars",
+                 stops.alias("n_stop"),
+                 F.size(words).alias("n_words"),
+                 F.size(F.array_distinct(words)).alias("n_distinct"))
+         .filter(F.col("n_words") > 0))
+    score = (
+        F.lit(0.4) * (F.col("n_stop").cast("double") / F.col("n_words").cast("double"))
+        + F.lit(0.3) * (F.col("n_distinct").cast("double")
+                        / F.col("n_words").cast("double"))
+        + F.lit(0.15) * (F.lit(1.0) / (1 + F.col("doc_id") % 4).cast("double"))
+        + F.lit(0.15) * (F.col("n_chars").cast("double") / F.lit(600.0))
+    )
+    s = f.select("doc_id", "source", score.alias("score"))
+    w = W.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (s.withColumn("importance_rank", F.row_number().over(w))
+            .filter(F.col("importance_rank") <= 5)
+            .select("source", "importance_rank", "doc_id", "score"))
+
+
+@register(
+    "b7_diversity_topk",
+    sql="""
+    WITH f AS (
+      SELECT doc_id, source, n_chars,
+             (list_filter(string_split(text, ' '), x -> x <> ''))[1] AS lead_word
+      FROM documents),
+    best_per_cluster AS (
+      -- diversity: at most one winner per (source, lead-word) cluster
+      SELECT source, doc_id, n_chars, lead_word FROM (
+        SELECT source, doc_id, n_chars, lead_word,
+               ROW_NUMBER() OVER (PARTITION BY source, lead_word
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rc
+        FROM f WHERE lead_word IS NOT NULL) WHERE rc = 1)
+    SELECT source, importance_rank, doc_id, lead_word, n_chars FROM (
+      SELECT source, doc_id, lead_word, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC)
+               AS importance_rank
+      FROM best_per_cluster) WHERE importance_rank <= 5
+    """,
+    doc="B7 diversity selection (README.md:165-172): relational MMR "
+        "approximation — cap one winner per similarity cluster (source, "
+        "lead word), then per-source top-5; two window passes, no UDF",
+)
+def b7_diversity_topk(spark, sf_dir):
+    f = (t(spark, sf_dir, "documents")
+         .select("doc_id", "source", "n_chars",
+                 F.expr("filter(split(text, ' '), x -> x <> '')[0]")
+                 .alias("lead_word"))
+         .filter(F.col("lead_word").isNotNull()))
+    wc = W.partitionBy("source", "lead_word").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    best = (f.withColumn("rc", F.row_number().over(wc)).filter("rc = 1").drop("rc"))
+    wr = W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (best.withColumn("importance_rank", F.row_number().over(wr))
+            .filter(F.col("importance_rank") <= 5)
+            .select("source", "importance_rank", "doc_id", "lead_word", "n_chars"))
+
+
+@register(
+    "tt1_title_candidates",
+    sql="""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents),
+    blocks AS (
+      SELECT doc_id, u.i AS blk_idx,
+             array_to_string(words[(u.i * 8 + 1):(u.i * 8 + 8)], ' ') AS btext
+      FROM w, unnest(range(0, 10)) AS u(i)
+      WHERE len(words) > u.i * 8),
+    cand AS (
+      SELECT doc_id, blk_idx, btext FROM blocks
+      WHERE contains(upper(btext), 'RFP') OR contains(upper(btext), 'REQUEST')
+         OR contains(upper(btext), 'PROPOSAL')
+         OR (blk_idx < 5 AND length(btext) > 10 AND length(btext) < 100))
+    SELECT doc_id, MIN(blk_idx) AS title_blk,
+           MIN_BY(btext, blk_idx) AS title_text
+    FROM cand GROUP BY doc_id
+    """,
+    doc="TT1 title candidate generation (extractor.py:515-546): first-10-"
+        "block gate, keyword / position / length predicates, first match "
+        "wins via min_by — the in-pipeline version runs in core/pdfheur",
+)
+def tt1_title_candidates(spark, sf_dir):
+    w = (t(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.expr("filter(split(text, ' '), x -> x <> '')").alias("words")))
+    blocks = (w.select("doc_id", "words",
+                       F.explode(F.expr("sequence(0, 9)")).alias("blk_idx"))
+              .filter(F.size("words") > F.col("blk_idx") * 8)
+              .withColumn("btext", F.expr(
+                  "array_join(slice(words, blk_idx * 8 + 1, 8), ' ')")))
+    up = F.upper("btext")
+    cand = blocks.filter(
+        up.contains("RFP") | up.contains("REQUEST") | up.contains("PROPOSAL")
+        | ((F.col("blk_idx") < 5) & F.length("btext").between(11, 99)))
+    return cand.groupBy("doc_id").agg(
+        F.min("blk_idx").alias("title_blk"),
+        F.expr("min_by(btext, blk_idx)").alias("title_text"))
