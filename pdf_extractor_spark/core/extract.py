@@ -39,6 +39,10 @@ def extract_document(spans: list[dict]) -> tuple[list[dict], int]:
 
 
 def _extract(spans: list[dict]) -> list[dict]:
+    # duplicate offsets would make output depend on input row order (dict
+    # overwrite) — nondeterministic under shuffle; treat as malformed doc
+    if len({s["offset"] for s in spans}) != len(spans):
+        raise ParseError("duplicate span offsets")
     spans = sorted(spans, key=lambda s: s["offset"])
     pdf_blocks: list[dict] = []          # concatenated across all pdf_page spans
     per_span_items: dict[int, list[dict]] = {}

@@ -285,9 +285,11 @@ def f2_anti_join_filter(spark, sf_dir):
     SELECT l_returnflag, COUNT(*) AS n_table_like FROM (
       SELECT l_returnflag, l_quantity,
              SUM(CASE WHEN l_quantity < 25 THEN 1 ELSE 0 END)
-               OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+               OVER (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_quantity, l_returnflag, l_extendedprice
                      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS n_short,
-             COUNT(*) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+             COUNT(*) OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_quantity, l_returnflag, l_extendedprice
                             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS n_local
       FROM lineitem)
     WHERE l_quantity < 25 AND n_short * 10 > 6 * n_local
@@ -296,7 +298,12 @@ def f2_anti_join_filter(spark, sf_dir):
     doc="F3 table-content filter analog: ±k row frame, local ratio > 0.6 (extractor.py:387-421)",
 )
 def f3_local_window_ratio(spark, sf_dir):
-    w = (W.partitionBy("l_orderkey").orderBy("l_linenumber").rowsBetween(-2, 2))
+    # (l_orderkey, l_linenumber) is NOT unique in the driver's synthetic
+    # lineitem; extend the ordering until remaining ties are interchangeable
+    # (equal l_quantity + l_returnflag) so the ±2 frame is engine-independent
+    w = (W.partitionBy("l_orderkey")
+         .orderBy("l_linenumber", "l_quantity", "l_returnflag", "l_extendedprice")
+         .rowsBetween(-2, 2))
     l = (t(spark, sf_dir, "lineitem")
          .withColumn("n_short", F.sum(F.when(F.col("l_quantity") < 25, 1).otherwise(0)).over(w))
          .withColumn("n_local", F.count("*").over(w)))
