@@ -62,24 +62,33 @@ SHINGLES_D = (
     "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"
 )
 
-N_MINHASH = 8      # minhash permutations (seeded md5 re-hash)
-N_BANDS = 4        # LSH bands of 2 rows each
+N_MINHASH = 8      # minhash lanes (one-hash variant: 16-bit md5 slices)
+N_BANDS = 4        # LSH bands of 2 lanes each
 
+
+# One-hash minhash: hash each shingle ONCE (md5), then treat the 8 disjoint
+# 4-hex-char slices of the digest as 8 independent 16-bit hash lanes and min
+# each lane.  8x fewer digest computations than seeded re-hashing, at the
+# cost of 16-bit lane width (slightly coarser min estimates — fine here
+# because LSH candidates are always verified with exact Jaccard).
+# Expressions below operate on a column `hs` = array of per-shingle md5 hex.
 
 def _minhash_s(j: int) -> str:
-    return f"array_min(transform(sh, s -> md5(concat('mh{j}|', s))))"
+    return f"array_min(transform(hs, h -> substring(h, {4 * j + 1}, 4)))"
 
 
 def _minhash_d(j: int) -> str:
-    return f"list_min(list_transform(sh, s -> md5('mh{j}|' || s)))"
+    return f"list_min(list_transform(hs, h -> substr(h, {4 * j + 1}, 4)))"
 
 
 def _band_s(b: int) -> str:
-    return f"md5(concat({_minhash_s(2 * b)}, {_minhash_s(2 * b + 1)}))"
+    # band key = lane-pair concat; equality on it == equality on both lanes,
+    # so no extra digest is needed
+    return f"concat({_minhash_s(2 * b)}, {_minhash_s(2 * b + 1)})"
 
 
 def _band_d(b: int) -> str:
-    return f"md5({_minhash_d(2 * b)} || {_minhash_d(2 * b + 1)})"
+    return f"{_minhash_d(2 * b)} || {_minhash_d(2 * b + 1)}"
 
 
 # near-dup document working set: every doc_id % 7 == 0 gets a copy
@@ -145,23 +154,29 @@ def dedup_exact(spark, sf_dir):
     "dedup_minhash_signatures",
     sql=f"""
     WITH w AS (SELECT doc_id, {WORDS_D} AS words FROM documents),
-    s AS (SELECT doc_id, {SHINGLES_D} AS sh FROM w)
-    SELECT doc_id, len(sh) AS n_shingles,
+    s AS (SELECT doc_id, {SHINGLES_D} AS sh FROM w),
+    hashed AS (
+      SELECT doc_id, len(sh) AS n_shingles,
+             list_transform(sh, x -> md5(x)) AS hs
+      FROM s WHERE len(sh) >= 1)
+    SELECT doc_id, n_shingles,
            {_minhash_d(0)} AS mh0, {_minhash_d(1)} AS mh1,
            {_band_d(0)} AS band0, {_band_d(1)} AS band1,
            {_band_d(2)} AS band2, {_band_d(3)} AS band3
-    FROM s WHERE len(sh) >= 1
+    FROM hashed
     """,
-    doc="MinHash over word-3-gram shingles (8 seeded md5 permutations) + "
-        "4-band LSH keys; per-row narrow compute, no shuffle",
+    doc="MinHash over word-3-gram shingles (one-hash variant: 8 16-bit "
+        "md5-slice lanes) + 4-band LSH keys; per-row narrow compute, no shuffle",
 )
 def dedup_minhash_signatures(spark, sf_dir):
     d = (t(spark, sf_dir, "documents")
          .select("doc_id", F.expr(WORDS_S).alias("words"))
          .select("doc_id", F.expr(SHINGLES_S).alias("sh"))
-         .filter(F.size("sh") >= 1))
+         .filter(F.size("sh") >= 1)
+         .select("doc_id", F.size("sh").alias("n_shingles"),
+                 F.expr("transform(sh, x -> md5(x))").alias("hs")))
     return d.select(
-        "doc_id", F.size("sh").alias("n_shingles"),
+        "doc_id", "n_shingles",
         F.expr(_minhash_s(0)).alias("mh0"), F.expr(_minhash_s(1)).alias("mh1"),
         F.expr(_band_s(0)).alias("band0"), F.expr(_band_s(1)).alias("band1"),
         F.expr(_band_s(2)).alias("band2"), F.expr(_band_s(3)).alias("band3"),
@@ -173,11 +188,13 @@ def dedup_minhash_signatures(spark, sf_dir):
     sql=f"""
     WITH {NEARDUP_CORPUS_D},
     sigs AS (
-      SELECT doc_id, list_distinct(sh) AS shset,
+      SELECT doc_id, shset,
              [{_band_d(0)}, {_band_d(1)}, {_band_d(2)}, {_band_d(3)}] AS bands
-      FROM (SELECT doc_id, {SHINGLES_D} AS sh
-            FROM (SELECT doc_id, {WORDS_D} AS words FROM corpus))
-      WHERE len(sh) >= 1),
+      FROM (SELECT doc_id, list_distinct(sh) AS shset,
+                   list_transform(sh, x -> md5(x)) AS hs
+            FROM (SELECT doc_id, {SHINGLES_D} AS sh
+                  FROM (SELECT doc_id, {WORDS_D} AS words FROM corpus))
+            WHERE len(sh) >= 1)),
     exploded AS (
       SELECT doc_id, shset, i AS band_idx, bands[i] AS band_hash
       FROM sigs, unnest(range(1, 5)) AS u(i)),
@@ -199,22 +216,20 @@ def dedup_minhash_signatures(spark, sf_dir):
 )
 def dedup_minhash_lsh(spark, sf_dir):
     corpus = _neardup_corpus_s(spark, sf_dir)
-    # minhashes once as columns (each is a full md5 pass over the shingles —
-    # building bands directly from _band_s would run every pass twice),
-    # then bands from the mh columns
+    # hash every shingle once (hs), then derive all 8 lanes + 4 bands from
+    # the digests — one md5 pass total per document
     sigs = (
         corpus.select("doc_id", F.expr(WORDS_S).alias("words"))
         .select("doc_id", F.expr(SHINGLES_S).alias("sh"))
         .filter(F.size("sh") >= 1)
         .select("doc_id", F.array_distinct("sh").alias("shset"),
-                *[F.expr(_minhash_s(j)).alias(f"mh{j}") for j in range(N_MINHASH)])
+                F.expr("transform(sh, x -> md5(x))").alias("hs"))
         .select("doc_id", "shset",
-                F.array(*[F.md5(F.concat(f"mh{2 * b}", f"mh{2 * b + 1}"))
-                          for b in range(N_BANDS)]).alias("bands"))
+                F.array(*[F.expr(_band_s(b)) for b in range(N_BANDS)]).alias("bands"))
     )
     # the signature table is referenced 4× below (both self-join branches +
     # both verify re-joins); at scale you'd write it out once — here persist
-    # so the 8-pass minhash isn't recomputed per branch
+    # so the minhash pass isn't recomputed per branch
     sigs = sigs.persist()
     # candidate pairs carry bare ids only — the distinct never shuffles the
     # shingle arrays; sets are re-joined just for the verify step
