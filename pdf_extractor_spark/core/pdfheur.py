@@ -228,13 +228,59 @@ def is_obvious_table_cell(text: str) -> bool:
 
 
 def skip_table_body(blocks: list[dict]) -> list[dict]:
-    """extractor.py:423-441 — drop table cells, rescue likely table headers."""
+    """extractor.py:423-441 — drop table cells, rescue likely table headers.
+
+    Vectorized equivalent of calling :func:`is_table_content` per block
+    (kept, and asserted identical, by tests/test_pdfheur.py): window
+    counts come from per-size position arrays + a prefix sum instead of
+    re-slicing the ±5 neighborhood for every block, turning the O(n·w)
+    python-loop constant into numpy searchsorted calls.  The float
+    ratio comparisons (``rep/total > 0.6``) are computed with the same
+    IEEE division as the scalar code, so results are bit-identical.
+    """
+    import numpy as np
+
+    n = len(blocks)
+    if n == 0:
+        return []
+    w = 5
+    sizes = np.fromiter((b["size"] for b in blocks), dtype=np.float64, count=n)
+    texts = [b["text"].strip() for b in blocks]
+    tlens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    idx = np.arange(n)
+    start = np.maximum(0, idx - w)
+    end = np.minimum(n, idx + w + 1)          # exclusive
+    total = end - start
+
+    # rep(i) = #{j in window(i): sizes[j] == sizes[i]} via positions-per-size
+    rep = np.empty(n, dtype=np.int64)
+    order = np.argsort(sizes, kind="stable")
+    sorted_sizes = sizes[order]
+    bounds = np.flatnonzero(np.r_[True, sorted_sizes[1:] != sorted_sizes[:-1], True])
+    for g in range(len(bounds) - 1):
+        ps = np.sort(order[bounds[g]:bounds[g + 1]])    # positions of this size
+        rep[ps] = (np.searchsorted(ps, end[ps], side="left")
+                   - np.searchsorted(ps, start[ps], side="left"))
+
+    short_prefix = np.r_[0, np.cumsum(tlens < 80)]
+    short_neighbors = short_prefix[end] - short_prefix[start]
+
+    maybe = (texts_nonempty := tlens > 0) & (rep / total > 0.6) & (tlens < 80) \
+        & (short_neighbors / total > 0.5)
+
     filtered = []
     for i, b in enumerate(blocks):
-        if not is_table_content(b, blocks, i):
+        if not texts_nonempty[i]:
+            is_table = True          # blank text → table content (ref behavior)
+        elif maybe[i]:
+            sentences = texts[i].split(".")
+            is_table = not any(len(s.strip()) > 50 for s in sentences)
+        else:
+            is_table = False
+        if not is_table:
             filtered.append(b)
         else:
-            text = b["text"].strip()
+            text = texts[i]
             if (b["bold"] or len(text) > 20) and not is_obvious_table_cell(text):
                 filtered.append(b)
     return filtered

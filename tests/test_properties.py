@@ -81,3 +81,34 @@ def test_generator_seed_stability(i):
     b = gen_doc(f"doc-{i:07d}", seed=42)
     assert a == b
     assert [s["offset"] for s in a["spans"]] == list(range(len(a["spans"])))
+
+
+# --- vectorized skip_table_body ≡ per-block scalar reference ---------------
+
+block_st = st.fixed_dictionaries({
+    "text": st.one_of(st.just(""), st.text(max_size=100),
+                      st.sampled_from(["12", "3.14", "$1,000", "ab",
+                                       "a long sentence that keeps going on " * 3])),
+    "page": st.integers(0, 3),
+    "y0": st.floats(0, 800, allow_nan=False),
+    "y1": st.floats(0, 800, allow_nan=False),
+    "size": st.sampled_from([9.0, 10.0, 12.0, 14.0, 16.0, 20.0]),
+    "bold": st.booleans(),
+    "font": st.just("Helv"),
+    "flags": st.sampled_from([0, 16]),
+})
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(block_st, max_size=30))
+def test_skip_table_body_matches_scalar(blocks):
+    vec = pdfheur.skip_table_body(blocks)
+    ref = []
+    for i, b in enumerate(blocks):
+        if not pdfheur.is_table_content(b, blocks, i):
+            ref.append(b)
+        else:
+            text = b["text"].strip()
+            if (b["bold"] or len(text) > 20) and not pdfheur.is_obvious_table_cell(text):
+                ref.append(b)
+    assert vec == ref
