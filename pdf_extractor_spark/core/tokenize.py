@@ -45,11 +45,11 @@ def parse_pdf_page_stream(stream: str, src_span: int = 0) -> list[dict]:
         except ValueError as e:
             raise ParseError(f"bad numeric field in: {raw[:80]!r}") from e
         font = fields[6]
-        text = fields[7]
-        if not text.strip():
+        text = fields[7].strip()
+        if not text:
             continue  # blank-line filter F1 (extractor.py:56)
         blocks.append({
-            "text": text.strip(),
+            "text": text,
             "page": page,
             "y0": y0,
             "y1": y1,
