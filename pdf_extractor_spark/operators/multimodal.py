@@ -89,3 +89,79 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             .otherwise("video"))
     return docs.select(
         "doc_id", F.encode("text", "utf-8").alias("blob"), kind.alias("media_kind"))
+
+
+# --- resize / frame-sample plumbing (same stub pattern as decode) -----------
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, media_ref string, media_kind string, "
+    "target_w int, target_h int, thumb binary"
+)
+FRAME_SCHEMA = (
+    "doc_id bigint, media_ref string, frame_idx int, ts_ms long, frame binary"
+)
+
+
+def resize_fake(blob: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for an image resize: digest-expand to w*h bytes.
+
+    Real codec path belongs in :func:`decode_real`'s family — the Spark
+    plumbing (schema, batching) is what this module makes real.
+    """
+    h1 = hashlib.sha256(b"resize|%d|%d|" % (w, h) + blob).digest()
+    reps = (w * h + len(h1) - 1) // len(h1)
+    return (h1 * reps)[: w * h]
+
+
+def _resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        out = pdf[["doc_id", "media_ref", "media_kind", "target_w", "target_h"]].copy()
+        out["thumb"] = [resize_fake(bytes(b), int(w), int(h))
+                        for b, w, h in zip(pdf["blob"], pdf["target_w"],
+                                           pdf["target_h"])]
+        yield out
+
+
+def media_resize(media_df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """(doc_id, blob, media_kind) → thumbnail rows.  Map-side only."""
+    prepared = media_df.select(
+        "doc_id",
+        F.concat(F.lit("media://"), F.md5("blob")).alias("media_ref"),
+        "media_kind", "blob",
+        F.lit(width).alias("target_w"), F.lit(height).alias("target_h"),
+    )
+    return prepared.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
+
+
+def _frame_batches(n_frames: int):
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for doc_id, ref, blob in zip(pdf["doc_id"], pdf["media_ref"],
+                                         pdf["blob"]):
+                b = bytes(blob)
+                # deterministic "frames": sliced digests at evenly spaced
+                # timestamps — one output row per sampled frame
+                for k in range(n_frames):
+                    fr = hashlib.sha256(b"frame|%d|" % k + b).digest()
+                    rows.append((int(doc_id), ref, k, 1000 * k, fr))
+            out = pd.DataFrame(
+                rows, columns=["doc_id", "media_ref", "frame_idx", "ts_ms", "frame"])
+            rows = []
+            yield out
+    return gen
+
+
+def frame_sample(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """(doc_id, blob, media_kind) → n sampled frames per video blob.
+
+    Row-expanding map (1 → n_frames), still shuffle-free: sampling is per
+    blob, so the stage pipelines inside whatever partitioning the input
+    already has.
+    """
+    prepared = media_df.filter(F.col("media_kind") == "video").select(
+        "doc_id",
+        F.concat(F.lit("media://"), F.md5("blob")).alias("media_ref"),
+        "blob",
+    )
+    return prepared.mapInPandas(_frame_batches(n_frames), schema=FRAME_SCHEMA)

@@ -46,3 +46,34 @@ def test_partial_then_resume(spark, corpus_path, tmp_path_factory):
         spark, f"{out}/{pipeline.LINEAGE_SUBDIR}")) or m3["docs_total_committed"] == len(want)
     after = spans_by_doc(pipeline.read_extracted(spark, out))
     assert after == before
+
+
+def test_crash_between_write_and_lineage(spark, corpus_path, tmp_path_factory):
+    """Crash AFTER the data write but BEFORE the lineage append: the
+    partition has durable data yet no lineage row → resume must re-process
+    it, and dynamic partition overwrite must leave exactly one copy."""
+    clean_dir = str(tmp_path_factory.mktemp("clean2"))
+    pipeline.run_extraction(spark, corpus_path, clean_dir, num_partitions=11)
+    want = spans_by_doc(pipeline.read_extracted(spark, clean_dir))
+
+    out = str(tmp_path_factory.mktemp("crashed"))
+    pipeline.run_extraction(spark, corpus_path, out, num_partitions=11)
+
+    # simulate the torn state: drop the lineage rows for 3 partitions while
+    # keeping their written data
+    lin_loc = f"{out}/{pipeline.LINEAGE_SUBDIR}"
+    lin = pipeline.read_lineage(spark, out)
+    keep = lin.filter(~F.col("partition_id").isin([0, 1, 2]))
+    kept_rows = keep.collect()
+    import shutil
+    shutil.rmtree(lin_loc)
+    spark.createDataFrame(kept_rows, lin.schema).write.parquet(lin_loc)
+
+    m = pipeline.run_extraction(spark, corpus_path, out, num_partitions=11)
+    # only the torn partitions were re-processed
+    assert m["skipped_committed"] == 11 - 3
+
+    got = spans_by_doc(pipeline.read_extracted(spark, out))
+    assert got == want  # no duplicates, no losses — overwrite was idempotent
+    n_rows = pipeline.read_extracted(spark, out).count()
+    assert n_rows == len(want)
