@@ -34,7 +34,8 @@ def test_extraction_single_exchange(spark):
     plan = plan_of(extract_operator(docs, 8))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "REBALANCE_PARTITIONS_BY_COL" in plan, plan
-    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) (?:PythonMapInArrow|MapInArrow|MapInPandas)",
+                          plan)) == 1, plan
     # no range-sampling repartition (would appear as rangepartitioning)
     assert "rangepartitioning" not in plan, plan
 
