@@ -281,3 +281,66 @@ def tt1_title_candidates(spark, sf_dir):
     return cand.groupBy("doc_id").agg(
         F.min("blk_idx").alias("title_blk"),
         F.expr("min_by(btext, blk_idx)").alias("title_text"))
+
+
+@register(
+    "html_density_classify",
+    sql="""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents),
+    blocks AS (
+      SELECT doc_id, u.c AS blk_idx,
+             words[(u.c * 12 + 1):(u.c * 12 + 12)] AS bw
+      FROM w, unnest(range(0, greatest(0, (len(words) - 1) // 12) + 1)) AS u(c)
+      WHERE len(words) > u.c * 12),
+    feat AS (
+      SELECT doc_id, blk_idx,
+             length(array_to_string(bw, ' ')) AS n_chars,
+             len(bw) AS n_words,
+             -- pseudo-anchors: words whose md5 leads with hex digit 0-3 play
+             -- the role of link text (deterministic in both engines);
+             -- COALESCE because DuckDB's array_to_string([]) is NULL where
+             -- Spark's array_join gives ''
+             COALESCE(length(array_to_string(
+               list_filter(bw, x -> substr(md5(x), 1, 1) IN ('0','1','2','3')),
+               ' ')), 0) AS n_link_chars
+      FROM blocks)
+    SELECT doc_id,
+           COUNT(*) AS n_blocks,
+           SUM(CASE WHEN n_chars >= 40 AND n_link_chars * 10 < n_chars * 3
+                    THEN 1 ELSE 0 END) AS n_content,
+           SUM(CASE WHEN n_chars >= 40 AND n_link_chars * 10 < n_chars * 3
+                    THEN n_chars ELSE 0 END) AS body_chars
+    FROM feat GROUP BY doc_id
+    """,
+    doc="§2.12 HTML boilerplate strip, relational form: block text-density + "
+        "link-density features (Kohlschütter WSDM'10 family) over in-engine "
+        "pseudo-HTML blocks; content iff long enough AND link ratio < 0.3. "
+        "The in-UDF classifier over real tag streams is core/htmlheur.py",
+)
+def html_density_classify(spark, sf_dir):
+    w = (t(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.expr("filter(split(text, ' '), x -> x <> '')").alias("words")))
+    blocks = (w.select("doc_id", "words",
+                       F.explode(F.expr(
+                           "sequence(0, greatest(0, (size(words) - 1) div 12))"))
+                       .alias("blk_idx"))
+              .filter(F.size("words") > F.col("blk_idx") * 12)
+              .withColumn("bw", F.expr("slice(words, blk_idx * 12 + 1, 12)")))
+    feat = blocks.select(
+        "doc_id", "blk_idx",
+        F.length(F.array_join("bw", " ")).alias("n_chars"),
+        F.size("bw").alias("n_words"),
+        F.length(F.array_join(F.expr(
+            "filter(bw, x -> substring(md5(x), 1, 1) IN ('0','1','2','3'))"),
+            " ")).alias("n_link_chars"),
+    )
+    is_content = (F.col("n_chars") >= 40) & (F.col("n_link_chars") * 10
+                                             < F.col("n_chars") * 3)
+    return feat.groupBy("doc_id").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.when(is_content, 1).otherwise(0)).alias("n_content"),
+        F.sum(F.when(is_content, F.col("n_chars")).otherwise(0)).alias("body_chars"),
+    )
