@@ -325,14 +325,15 @@ def f3_local_window_ratio(spark, sf_dir):
         FROM buckets) WHERE rn = 1)
     SELECT b.source,
            MAX(d.dominant) AS dominant_bucket,
-           SUM(CASE WHEN b.bucket > d.dominant AND b.cnt * 20 <= t.total
-                         AND b.bucket - d.dominant >= 4 THEN 1 ELSE 0 END) AS n_h1,
-           SUM(CASE WHEN b.bucket > d.dominant AND b.cnt * 20 <= t.total
+           -- CAST: DuckDB types SUM(CASE...) as HUGEINT; Spark returns bigint
+           CAST(SUM(CASE WHEN b.bucket > d.dominant AND b.cnt * 20 <= t.total
+                         AND b.bucket - d.dominant >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_h1,
+           CAST(SUM(CASE WHEN b.bucket > d.dominant AND b.cnt * 20 <= t.total
                          AND b.bucket - d.dominant >= 2 AND b.bucket - d.dominant < 4
-                    THEN 1 ELSE 0 END) AS n_h2,
-           SUM(CASE WHEN b.bucket > d.dominant AND b.cnt * 20 <= t.total
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_h2,
+           CAST(SUM(CASE WHEN b.bucket > d.dominant AND b.cnt * 20 <= t.total
                          AND b.bucket - d.dominant >= 1 AND b.bucket - d.dominant < 2
-                    THEN 1 ELSE 0 END) AS n_h3
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_h3
     FROM buckets b JOIN dom d ON b.source = d.source JOIN tot t ON b.source = t.source
     GROUP BY b.source
     """,

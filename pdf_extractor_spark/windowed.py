@@ -308,10 +308,11 @@ def tt1_title_candidates(spark, sf_dir):
       FROM blocks)
     SELECT doc_id,
            COUNT(*) AS n_blocks,
-           SUM(CASE WHEN n_chars >= 40 AND n_link_chars * 10 < n_chars * 3
-                    THEN 1 ELSE 0 END) AS n_content,
-           SUM(CASE WHEN n_chars >= 40 AND n_link_chars * 10 < n_chars * 3
-                    THEN n_chars ELSE 0 END) AS body_chars
+           -- CAST: DuckDB types SUM(CASE...) as HUGEINT; Spark returns bigint
+           CAST(SUM(CASE WHEN n_chars >= 40 AND n_link_chars * 10 < n_chars * 3
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_content,
+           CAST(SUM(CASE WHEN n_chars >= 40 AND n_link_chars * 10 < n_chars * 3
+                    THEN n_chars ELSE 0 END) AS BIGINT) AS body_chars
     FROM feat GROUP BY doc_id
     """,
     doc="§2.12 HTML boilerplate strip, relational form: block text-density + "

@@ -21,6 +21,33 @@ def duck_con():
     return con
 
 
+# Spark simpleString type → acceptable DuckDB arrow type *classes*.  The
+# driver's value-hash survives integer-width differences (int32 row_number vs
+# DuckDB's int64 hashed equal in round 1) but NOT class differences: DuckDB
+# HUGEINT (arrow decimal128) converts to float where Spark emits bigint, so
+# 5 hashes as "5.0" vs "5" (bit us in round 1 with SUM(CASE ...)).  Unmapped
+# Spark types (arrays, structs) are skipped — values are still compared.
+INTS = {"int8", "int16", "int32", "int64", "uint8", "uint16", "uint32", "uint64"}
+SPARK_TO_ARROW = {
+    "tinyint": INTS, "smallint": INTS, "int": INTS, "bigint": INTS,
+    "double": {"double", "float"}, "float": {"double", "float"},
+    "boolean": {"bool"},
+    "string": {"string", "large_string"},
+    "date": {"date32[day]"},
+}
+
+
+def check_dtypes(name, sdf, arrow_tbl):
+    spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    for field in arrow_tbl.schema:
+        want = SPARK_TO_ARROW.get(spark_types.get(field.name, ""))
+        if want is None:
+            continue
+        assert str(field.type) in want, (
+            f"{name}.{field.name}: DuckDB arrow type {field.type} vs Spark "
+            f"{spark_types[field.name]} — driver's typed hash will mismatch")
+
+
 def normalize(rows, cols):
     """Order-insensitive, column-name-sorted canonical form."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -48,6 +75,8 @@ def test_query_matches_oracle(spark, name):
         assert len(srows) >= 0  # rows-only check (driver does the same)
         return
     con = duck_con()
+    arrow_tbl = con.execute(spec.sql).arrow()
+    check_dtypes(name, sdf, arrow_tbl)
     res = con.execute(spec.sql)
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
