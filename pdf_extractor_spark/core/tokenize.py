@@ -39,6 +39,13 @@ def parse_pdf_page_stream(stream: str, src_span: int = 0) -> list[dict]:
             y0 = float(fields[2])
             y1 = float(fields[3])
             size = round(float(fields[4]), 1)   # extractor.py:52 round(size, 1)
+            # float() accepts 'nan'/'inf'; NaN sizes would split the scalar
+            # (list.count) and vectorized (per-size grouping) table-filter
+            # paths, and non-finite y breaks block ordering — reject here
+            if not (page >= 0 and y0 == y0 and y1 == y1 and size == size
+                    and abs(y0) != float("inf") and abs(y1) != float("inf")
+                    and abs(size) != float("inf")):
+                raise ValueError("non-finite numeric field")
             bold = fields[5] == "1"
             if fields[5] not in ("0", "1"):
                 raise ValueError(fields[5])

@@ -65,6 +65,19 @@ SHINGLES_D = (
 N_MINHASH = 8      # minhash lanes (one-hash variant: 16-bit md5 slices)
 N_BANDS = 4        # LSH bands of 2 lanes each
 
+# Dedup queries persist their signature tables (referenced 3-4× in one
+# plan).  The registry shares one SparkSession across 35 queries, so
+# caches must not accumulate: each new persist first drains the previous
+# ones — the leak is bounded to one query's working set.
+_PERSISTED: list = []
+
+
+def _persist(df):
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    _PERSISTED.append(df.persist())
+    return df
+
 
 # One-hash minhash: hash each shingle ONCE (md5), then treat the 8 disjoint
 # 4-hex-char slices of the digest as 8 independent 16-bit hash lanes and min
@@ -230,7 +243,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     # the signature table is referenced 4× below (both self-join branches +
     # both verify re-joins); at scale you'd write it out once — here persist
     # so the minhash pass isn't recomputed per branch
-    sigs = sigs.persist()
+    sigs = _persist(sigs)
     # candidate pairs carry bare ids only — the distinct never shuffles the
     # shingle arrays; sets are re-joined just for the verify step
     ex = sigs.select("doc_id", F.posexplode("bands").alias("band_idx", "band_hash"))
@@ -350,7 +363,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
         corpus.select("doc_id", F.expr(WORDS_S).alias("words"))
         .filter(F.size("words") >= 3)
         .select("doc_id", F.array_distinct(F.expr(SHINGLES_S)).alias("shset"))
-    ).persist()  # referenced 3× (inverted index + both verify re-joins)
+    )
+    s = _persist(s)  # referenced 3× (inverted index + both verify re-joins)
     inv = s.select("doc_id", F.explode("shset").alias("shingle"))
     a, b = inv.alias("a"), inv.alias("b")
     cand = (

@@ -11,10 +11,16 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Arrow batch cap bounds per-batch memory inside mapInPandas even when a
-# jumbo doc (10^5 spans) lands in a batch (SURVEY.md §7.4 risk 4); 128 rows
-# keeps per-batch overhead low while a worst-case jumbo batch stays ~tens of MB.
-ARROW_MAX_RECORDS = 128
+# Arrow batch row cap bounds per-batch memory inside mapInArrow/mapInPandas
+# (SURVEY.md §7.4 risk 4).  The bound must hold for a batch of ONLY jumbo
+# docs, because with_partition_id isolates jumbos into their own part_id
+# space: at a worst-case ~4 MB of serialized spans per jumbo doc (10^5
+# line-spans x ~40 B), 64 rows => ~256 MB in-flight per batch, inside a
+# 4-8 GB executor budget.  Measured at sf0.1: 64 rows gives the same
+# extraction throughput as 128 (1634 vs 1666 docs/s, within noise), so the
+# tighter bound is free.  At cluster deploy, re-derive as
+# executor_mem_budget / max_doc_bytes.
+ARROW_MAX_RECORDS = 64
 
 
 def get_spark(app: str = "pdf_extractor_spark", master: str | None = None,

@@ -68,6 +68,17 @@ class TestPdfStream:
         with pytest.raises(ParseError):
             parse_pdf_page_stream("L\x1fzz\x1f40.0\x1f50.0\x1f10.0\x1f0\x1fHelv\x1fhi")
 
+    def test_nonfinite_numerics_raise(self):
+        # float() happily parses 'nan'/'inf'; NaN sizes would diverge the
+        # scalar vs vectorized table-filter paths, so parse must reject them
+        for bad in ("L\x1f0\x1f40.0\x1f50.0\x1fnan\x1f0\x1fHelv\x1fhi",
+                    "L\x1f0\x1fnan\x1f50.0\x1f10.0\x1f0\x1fHelv\x1fhi",
+                    "L\x1f0\x1f40.0\x1finf\x1f10.0\x1f0\x1fHelv\x1fhi",
+                    "L\x1f0\x1f40.0\x1f50.0\x1f-inf\x1f0\x1fHelv\x1fhi",
+                    "L\x1f-1\x1f40.0\x1f50.0\x1f10.0\x1f0\x1fHelv\x1fhi"):
+            with pytest.raises(ParseError):
+                parse_pdf_page_stream(bad)
+
 
 class TestGenerator:
     def test_deterministic(self):
