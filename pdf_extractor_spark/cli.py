@@ -30,10 +30,54 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--gen-docs", type=int, default=None,
                     help="generate a deterministic synthetic corpus of N docs into --input first")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--config", default=None,
+                    help="challenge/pipeline JSON (1B/main.py:52-97 shape); switches to "
+                         "selection mode: --input is a documents table "
+                         "(doc_id, source, text), output is the per-collection "
+                         "challenge1b_output record JSON at --output")
+    ap.add_argument("--timestamp", default="1970-01-01T00:00:00",
+                    help="processing_timestamp stamped into selection records "
+                         "(explicit for reproducible outputs)")
     args = ap.parse_args(argv)
 
     from .session import get_spark
     spark = get_spark("pdf_extractor_spark.cli", master=args.master)
+
+    if args.config:
+        import time
+
+        from pyspark.sql import functions as F
+
+        from .plans.selection import (build_selection_records,
+                                      load_collection_config, persona_keywords,
+                                      selection_plan)
+        with open(args.config) as fh:
+            cfg = load_collection_config(json.load(fh))
+        kws = persona_keywords(cfg["persona"], cfg["job_to_be_done"])
+        proc = cfg.get("processing_config", {})
+        docs = spark.read.parquet(args.input).select("doc_id", "source", "text")
+        names = [d["filename"] for d in cfg.get("documents", [])]
+        if names:
+            docs = docs.filter(F.col("source").isin(names))
+        t0 = time.perf_counter()
+        sel = selection_plan(docs, kws,
+                             max_sections=proc.get("max_sections", 25),
+                             min_score=proc.get("min_relevance_score", 0.5))
+        # bounded collect: <= max_sections rows per collection by construction
+        rows = [r.asDict() for r in sel.collect()]
+        records = build_selection_records(
+            rows, cfg["persona"], cfg["job_to_be_done"], args.timestamp)
+        with open(args.output, "w") as fh:
+            json.dump(records, fh, indent=2, sort_keys=True)
+        print(json.dumps({
+            "mode": "selection", "collection_name": cfg["collection_name"],
+            "persona": cfg["persona"], "n_keywords": len(kws),
+            "collections": len(records),
+            "sections_total": sum(len(r["extracted_sections"])
+                                  for r in records.values()),
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
+        return 0
 
     if args.gen_docs:
         from .gen import gen_corpus

@@ -149,6 +149,41 @@ def b2_semantic_chunking(spark, sf_dir):
 
 
 @register(
+    "tfidf_terms",
+    sql="""
+    WITH terms AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_filter(string_split(text, ' '), x -> x <> ''))) AS term
+      FROM documents),
+    dfreq AS (SELECT term, COUNT(*) AS n_df FROM terms GROUP BY term),
+    tot AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT term, n_df, n_docs,
+           (CAST(n_docs AS DOUBLE) - CAST(n_df AS DOUBLE) + 0.5)
+             / (CAST(n_df AS DOUBLE) + 0.5) AS idf
+    FROM dfreq, tot
+    """,
+    doc="A7 real TF-IDF (README.md:152 initialize_tfidf): the cross-document "
+        "IDF aggregate — explode distinct terms, groupBy term -> document "
+        "frequency, join the corpus-size scalar.  idf is the ln-free "
+        "BM25-style (N - df + 0.5)/(df + 0.5): one exact subtraction chain "
+        "plus one correctly-rounded division, so both engines agree "
+        "bit-for-bit (ln() rounding is libm-dependent).  One shuffle on "
+        "term with map-side combine; vocabulary ~Heaps-sublinear in corpus "
+        "size, so the result broadcasts to consumers",
+)
+def tfidf_terms(spark, sf_dir):
+    words = F.expr("filter(split(text, ' '), x -> x <> '')")
+    terms = (t(spark, sf_dir, "documents")
+             .select("doc_id", F.explode(F.array_distinct(words)).alias("term")))
+    dfreq = terms.groupBy("term").agg(F.count("*").alias("n_df"))
+    tot = t(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+    idf = ((F.col("n_docs").cast("double") - F.col("n_df").cast("double") + F.lit(0.5))
+           / (F.col("n_df").cast("double") + F.lit(0.5)))
+    return (dfreq.crossJoin(F.broadcast(tot))
+            .select("term", "n_df", "n_docs", idf.alias("idf")))
+
+
+@register(
     "b6_multifactor_rank",
     sql="""
     WITH f AS (
@@ -156,17 +191,29 @@ def b2_semantic_chunking(spark, sf_dir):
              len(list_filter(list_filter(string_split(text,' '), x -> x <> ''),
                  x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
              len(list_filter(string_split(text,' '), x -> x <> '')) AS n_words,
-             len(list_distinct(list_filter(string_split(text,' '), x -> x <> '')))
-               AS n_distinct,
              n_chars
       FROM documents),
+    terms AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_filter(string_split(text, ' '), x -> x <> ''))) AS term
+      FROM documents),
+    dfreq AS (SELECT term, COUNT(*) AS n_df FROM terms GROUP BY term),
+    tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+    idf AS (
+      SELECT term,
+             CAST(floor(((CAST(n_docs AS DOUBLE) - CAST(n_df AS DOUBLE) + 0.5)
+                         / (CAST(n_df AS DOUBLE) + 0.5)) * 10000) AS BIGINT) AS q_idf
+      FROM dfreq, tot),
+    per_doc AS (
+      SELECT t.doc_id, CAST(SUM(i.q_idf) AS BIGINT) AS sum_q, COUNT(*) AS n_terms
+      FROM terms t JOIN idf i ON t.term = i.term GROUP BY t.doc_id),
     s AS (
-      SELECT doc_id, source,
+      SELECT f.doc_id, f.source,
              0.4 * (CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE))
-             + 0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE))
-             + 0.15 * (1.0 / CAST(1 + doc_id % 4 AS DOUBLE))
+             + 0.3 * (CAST(sum_q AS DOUBLE) / (10000.0 * CAST(n_terms AS DOUBLE)))
+             + 0.15 * (1.0 / CAST(1 + f.doc_id % 4 AS DOUBLE))
              + 0.15 * (CAST(n_chars AS DOUBLE) / 600.0) AS score
-      FROM f WHERE n_words > 0)
+      FROM f JOIN per_doc p ON p.doc_id = f.doc_id WHERE n_words > 0)
     SELECT source, importance_rank, doc_id, score FROM (
       SELECT source, doc_id, score,
              ROW_NUMBER() OVER (PARTITION BY source
@@ -174,8 +221,12 @@ def b2_semantic_chunking(spark, sf_dir):
       FROM s) WHERE importance_rank <= 5
     """,
     doc="B6/W5/K4 multi-factor importance ranking (README.md:156-172): "
-        "0.4·semantic + 0.3·tfidf-proxy + 0.15·structural + 0.15·contextual "
-        "weighted sum, per-source top-5 with deterministic tie-break",
+        "0.4·semantic + 0.3·REAL-tfidf + 0.15·structural + 0.15·contextual "
+        "weighted sum, per-source top-5 with deterministic tie-break.  The "
+        "tfidf leg consumes the cross-doc IDF aggregate (tfidf_terms): "
+        "per-doc mean idf over distinct terms, int64-quantized "
+        "(floor(idf*1e4)) before summing so the aggregate is "
+        "order-independent and hash-exact cross-engine",
 )
 def b6_multifactor_rank(spark, sf_dir):
     words = F.expr("filter(split(text, ' '), x -> x <> '')")
@@ -185,17 +236,24 @@ def b6_multifactor_rank(spark, sf_dir):
     f = (t(spark, sf_dir, "documents")
          .select("doc_id", "source", "n_chars",
                  stops.alias("n_stop"),
-                 F.size(words).alias("n_words"),
-                 F.size(F.array_distinct(words)).alias("n_distinct"))
+                 F.size(words).alias("n_words"))
          .filter(F.col("n_words") > 0))
+    terms = (t(spark, sf_dir, "documents")
+             .select("doc_id", F.explode(F.array_distinct(words)).alias("term")))
+    idf = (tfidf_terms(spark, sf_dir)
+           .select("term", F.floor(F.col("idf") * 10000).cast("bigint").alias("q_idf")))
+    per_doc = (terms.join(F.broadcast(idf), "term")
+               .groupBy("doc_id")
+               .agg(F.sum("q_idf").cast("bigint").alias("sum_q"),
+                    F.count("*").alias("n_terms")))
     score = (
         F.lit(0.4) * (F.col("n_stop").cast("double") / F.col("n_words").cast("double"))
-        + F.lit(0.3) * (F.col("n_distinct").cast("double")
-                        / F.col("n_words").cast("double"))
+        + F.lit(0.3) * (F.col("sum_q").cast("double")
+                        / (F.lit(10000.0) * F.col("n_terms").cast("double")))
         + F.lit(0.15) * (F.lit(1.0) / (1 + F.col("doc_id") % 4).cast("double"))
         + F.lit(0.15) * (F.col("n_chars").cast("double") / F.lit(600.0))
     )
-    s = f.select("doc_id", "source", score.alias("score"))
+    s = f.join(per_doc, "doc_id").select("doc_id", "source", score.alias("score"))
     w = W.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
     return (s.withColumn("importance_rank", F.row_number().over(w))
             .filter(F.col("importance_rank") <= 5)
@@ -281,6 +339,83 @@ def tt1_title_candidates(spark, sf_dir):
     return cand.groupBy("doc_id").agg(
         F.min("blk_idx").alias("title_blk"),
         F.expr("min_by(btext, blk_idx)").alias("title_text"))
+
+
+_B8_KW = ("analyze", "data", "filter", "group", "insights", "metrics",
+          "performance", "query", "report", "table", "trends", "value")
+_B8_KW_SQL = "[" + ", ".join(f"'{k}'" for k in _B8_KW) + "]"
+
+
+@register(
+    "b8_selection_output",
+    sql=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents),
+    tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+    terms AS (SELECT doc_id, unnest(list_distinct(words)) AS term FROM w),
+    dfreq AS (SELECT term, COUNT(*) AS n_df FROM terms GROUP BY term),
+    idf AS (
+      SELECT term,
+             CAST(floor(((CAST(n_docs AS DOUBLE) - CAST(n_df AS DOUBLE) + 0.5)
+                         / (CAST(n_df AS DOUBLE) + 0.5)) * 10000) AS BIGINT) AS q_idf
+      FROM dfreq, tot),
+    c AS (
+      SELECT doc_id, source, u.c AS chunk_idx,
+             words[(u.c * 50 + 1):(u.c * 50 + 60)] AS cw
+      FROM w, unnest(range(0, greatest(0, (len(words) - 11) // 50) + 1)) AS u(c)
+      WHERE len(words) > 0),
+    ct AS (SELECT doc_id, chunk_idx, unnest(list_distinct(cw)) AS term FROM c),
+    cidf AS (
+      SELECT ct.doc_id, ct.chunk_idx, CAST(SUM(i.q_idf) AS BIGINT) AS sum_q,
+             COUNT(*) AS n_terms
+      FROM ct JOIN idf i ON ct.term = i.term GROUP BY ct.doc_id, ct.chunk_idx),
+    feats AS (
+      SELECT c.doc_id, c.source, c.chunk_idx, c.cw,
+             array_to_string(c.cw, ' ') AS chunk_text,
+             len(list_intersect(list_distinct(c.cw), {_B8_KW_SQL})) AS n_kw,
+             length(array_to_string(c.cw, ' ')) AS chunk_chars,
+             sum_q, n_terms
+      FROM c JOIN cidf ON cidf.doc_id = c.doc_id AND cidf.chunk_idx = c.chunk_idx),
+    scored AS (
+      SELECT *,
+             0.4 * (CAST(n_kw AS DOUBLE) / {float(len(_B8_KW))})
+             + 0.3 * (CAST(sum_q AS DOUBLE) / (10000.0 * CAST(n_terms AS DOUBLE)))
+             + 0.15 * (1.0 / CAST(1 + chunk_idx AS DOUBLE))
+             + 0.15 * (CAST(chunk_chars AS DOUBLE) / 600.0) AS score,
+             cw[1] AS lead_word
+      FROM feats),
+    best AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source, lead_word
+                  ORDER BY score DESC, doc_id ASC, chunk_idx ASC) AS rc
+        FROM scored WHERE score >= 0.5) WHERE rc = 1),
+    sel AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY score DESC, doc_id ASC, chunk_idx ASC)
+                  AS importance_rank
+        FROM best) WHERE importance_rank <= 5)
+    SELECT source, importance_rank, doc_id,
+           array_to_string(cw[1:8], ' ') AS section_title,
+           chunk_idx + 1 AS page_number,
+           array_to_string(string_split(chunk_text, '.')[1:3], '.') AS refined_text,
+           score
+    FROM sel
+    """,
+    doc="B8 selection output (challenge1b_output.json:2-45, 1B/main.py:52-97 "
+        "semantics): B2 chunks scored 0.4·keyword-coverage + 0.3·real-TFIDF + "
+        "0.15·structural + 0.15·contextual, min_relevance_score 0.5 gate, "
+        "diversity cap per (source, lead-word) cluster, per-collection top-5 "
+        "with importance_rank, section_title = first 8 words, refined_text = "
+        "first <=3 sentences (README.md:165-172); record assembly + persona "
+        "config path live in plans/selection.py",
+)
+def b8_selection_output(spark, sf_dir):
+    from .plans.selection import selection_plan
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return selection_plan(docs, list(_B8_KW), max_sections=5, min_score=0.5)
 
 
 @register(
