@@ -869,12 +869,48 @@ def media_metadata(spark, sf_dir):
 # Rows-only entries (non-SQL-expressible: Arrow-batched pandas stages)
 # ---------------------------------------------------------------------------
 
+def _sha_feature_sql(i: int) -> str:
+    """DuckDB expression for fake-decode feature i: bytes 4i..4i+3 of
+    sha256(kind|text) as a little-endian uint32, /2^32, rounded to float32
+    (decode_fake's exact arithmetic — astype(float32) == CAST AS FLOAT,
+    both round-to-nearest-even)."""
+    def byte(j: int) -> str:
+        n0 = f"(strpos('0123456789abcdef', substr(h, {2 * j + 1}, 1)) - 1)"
+        n1 = f"(strpos('0123456789abcdef', substr(h, {2 * j + 2}, 1)) - 1)"
+        return f"({n0} * 16 + {n1})"
+    le = (f"({byte(4 * i)} + 256 * {byte(4 * i + 1)} + 65536 * {byte(4 * i + 2)}"
+          f" + 16777216 * {byte(4 * i + 3)})")
+    return f"CAST(CAST({le} AS DOUBLE) / 4294967296 AS FLOAT)"
+
+
+_FEAT_SQ_SUM = " + ".join(
+    f"CAST({_sha_feature_sql(i)} AS DOUBLE) * CAST({_sha_feature_sql(i)} AS DOUBLE)"
+    for i in range(8))
+
+
 @register(
     "multimodal_features",
-    sql=None,  # mapInPandas decode is not SQL-expressible; rows-only check
+    sql=f"""
+    WITH m AS (
+      SELECT doc_id,
+             'media://' || md5(text) AS media_ref,
+             octet_length(encode(text)) AS n_bytes,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_kind,
+             sha256(CASE WHEN doc_id % 3 = 0 THEN 'image'
+                         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+                    || '|' || text) AS h
+      FROM documents)
+    SELECT doc_id, media_ref, n_bytes, media_kind,
+           sqrt({_FEAT_SQ_SUM}) AS feat_norm
+    FROM m
+    """,
     doc="multimodal decode plumbing: binary blob + kind → Arrow-batched "
         "feature extraction (operators/multimodal.py); decode stubbed "
-        "deterministically, Spark plumbing real",
+        "deterministically (sha256-based fake), Spark plumbing real.  The "
+        "fake is reproduced in DuckDB SQL (sha256 hex → 8 LE-uint32 float32 "
+        "features → sequential sum of squares) so even feat_norm is "
+        "hash-checked cross-engine — no more rows-only hole",
 )
 def multimodal_features(spark, sf_dir):
     from .operators.multimodal import documents_as_media, media_features

@@ -53,15 +53,25 @@ def decode_fake(blob: bytes, kind: str) -> np.ndarray:
     return (raw / 2**32).astype(np.float32)
 
 
+def _norm(f: np.ndarray) -> float:
+    """Sequential left-to-right sum-of-squares, NOT np.dot: BLAS ddot may
+    unroll/reorder the sum, while the DuckDB oracle's list_sum is
+    sequential — this keeps feat_norm bit-identical cross-engine."""
+    acc = 0.0
+    for x in f:
+        v = float(x)
+        acc += v * v
+    import math
+    return math.sqrt(acc)
+
+
 def _feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         feats = [decode_fake(bytes(b), k)
                  for b, k in zip(pdf["blob"], pdf["media_kind"])]
         out = pdf[["doc_id", "media_ref", "n_bytes", "media_kind"]].copy()
         out["feat"] = [f.tolist() for f in feats]
-        out["feat_norm"] = [float(np.sqrt(np.dot(f.astype(np.float64),
-                                                 f.astype(np.float64))))
-                            for f in feats]
+        out["feat_norm"] = [_norm(f) for f in feats]
         yield out
 
 
