@@ -62,8 +62,8 @@ SHINGLES_D = (
     "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"
 )
 
-N_MINHASH = 8      # minhash lanes (one-hash variant: 16-bit md5 slices)
-N_BANDS = 4        # LSH bands of 2 lanes each
+N_MINHASH = 8      # minhash lanes (two-digest variant: 32-bit md5 slices)
+N_BANDS = 4        # LSH bands of 2 lanes each (64-bit band keys)
 
 # Dedup queries persist their signature tables (referenced 3-4× in one
 # plan).  The registry shares one SparkSession across 35 queries, so
@@ -79,19 +79,26 @@ def _persist(df):
     return df
 
 
-# One-hash minhash: hash each shingle ONCE (md5), then treat the 8 disjoint
-# 4-hex-char slices of the digest as 8 independent 16-bit hash lanes and min
-# each lane.  8x fewer digest computations than seeded re-hashing, at the
-# cost of 16-bit lane width (slightly coarser min estimates — fine here
-# because LSH candidates are always verified with exact Jaccard).
-# Expressions below operate on a column `hs` = array of per-shingle md5 hex.
+# Few-hash minhash: hash each shingle TWICE (md5(x) ++ md5('#'+x) = 64 hex
+# chars), then treat the 8 disjoint 8-hex-char slices as 8 independent
+# 32-bit hash lanes and min each lane.  4x fewer digest computations than
+# seeded re-hashing per lane; 32-bit lanes make band keys 64-bit, so at
+# 10^9+ docs band collisions track similarity rather than the birthday
+# bound (16-bit lanes gave 32-bit band keys — false-candidate sets would
+# explode at corpus scale).  LSH candidates are still verified with exact
+# Jaccard.  Expressions below operate on a column `hs` = array of
+# per-shingle 64-hex digest concats.
+
+HS_S = "transform(sh, x -> concat(md5(x), md5(concat('#', x))))"
+HS_D = "list_transform(sh, x -> md5(x) || md5('#' || x))"
+
 
 def _minhash_s(j: int) -> str:
-    return f"array_min(transform(hs, h -> substring(h, {4 * j + 1}, 4)))"
+    return f"array_min(transform(hs, h -> substring(h, {8 * j + 1}, 8)))"
 
 
 def _minhash_d(j: int) -> str:
-    return f"list_min(list_transform(hs, h -> substr(h, {4 * j + 1}, 4)))"
+    return f"list_min(list_transform(hs, h -> substr(h, {8 * j + 1}, 8)))"
 
 
 def _band_s(b: int) -> str:
@@ -170,7 +177,7 @@ def dedup_exact(spark, sf_dir):
     s AS (SELECT doc_id, {SHINGLES_D} AS sh FROM w),
     hashed AS (
       SELECT doc_id, len(sh) AS n_shingles,
-             list_transform(sh, x -> md5(x)) AS hs
+             {HS_D} AS hs
       FROM s WHERE len(sh) >= 1)
     SELECT doc_id, n_shingles,
            {_minhash_d(0)} AS mh0, {_minhash_d(1)} AS mh1,
@@ -187,7 +194,7 @@ def dedup_minhash_signatures(spark, sf_dir):
          .select("doc_id", F.expr(SHINGLES_S).alias("sh"))
          .filter(F.size("sh") >= 1)
          .select("doc_id", F.size("sh").alias("n_shingles"),
-                 F.expr("transform(sh, x -> md5(x))").alias("hs")))
+                 F.expr(HS_S).alias("hs")))
     return d.select(
         "doc_id", "n_shingles",
         F.expr(_minhash_s(0)).alias("mh0"), F.expr(_minhash_s(1)).alias("mh1"),
@@ -204,7 +211,7 @@ def dedup_minhash_signatures(spark, sf_dir):
       SELECT doc_id, shset,
              [{_band_d(0)}, {_band_d(1)}, {_band_d(2)}, {_band_d(3)}] AS bands
       FROM (SELECT doc_id, list_distinct(sh) AS shset,
-                   list_transform(sh, x -> md5(x)) AS hs
+                   {HS_D} AS hs
             FROM (SELECT doc_id, {SHINGLES_D} AS sh
                   FROM (SELECT doc_id, {WORDS_D} AS words FROM corpus))
             WHERE len(sh) >= 1)),
@@ -236,7 +243,7 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select("doc_id", F.expr(SHINGLES_S).alias("sh"))
         .filter(F.size("sh") >= 1)
         .select("doc_id", F.array_distinct("sh").alias("shset"),
-                F.expr("transform(sh, x -> md5(x))").alias("hs"))
+                F.expr(HS_S).alias("hs"))
         .select("doc_id", "shset",
                 F.array(*[F.expr(_band_s(b)) for b in range(N_BANDS)]).alias("bands"))
     )
@@ -330,6 +337,37 @@ def dedup_simhash(spark, sf_dir):
 # D4. n-gram Jaccard with inverted-index blocking (shared-shingle join)
 # ---------------------------------------------------------------------------
 
+def _prefix_filtered_candidates(s, threshold_pct: int):
+    """Prefix-filtered candidate pairs for a set-similarity join.
+
+    ``s`` = (doc_id, shset).  Orders each doc's shingles by global document
+    frequency (rarest first, shingle text as tie-break — a total order both
+    engines agree on), and indexes only the prefix of length
+    n - ceil(t·n) + 1.  Chaudhuri et al.'s prefix-filter guarantee: two
+    sets with Jaccard >= t must share at least one element within both
+    prefixes under any global total order, so candidate recall is exact.
+    ceil(t·n) is computed in integers ((t_pct·n + 99) div 100) — no float
+    thresholds.  The df pass is one extra groupBy on shingle (map-side
+    combined) — the price of not letting one 10^6-df shingle emit 10^12
+    candidate pairs at corpus scale.
+    """
+    inv = s.select("doc_id", F.size("shset").alias("n"),
+                   F.explode("shset").alias("shingle"))
+    df_sh = inv.groupBy("shingle").agg(F.count("*").alias("df"))
+    wdoc = W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    pref = (inv.join(df_sh, "shingle")
+            .withColumn("rn", F.row_number().over(wdoc))
+            .filter(F.col("rn") <= F.expr(
+                f"n - (({threshold_pct} * n + 99) div 100) + 1"))
+            .select("doc_id", "shingle"))
+    a, b = pref.alias("a"), pref.alias("b")
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
 @register(
     "dedup_ngram_jaccard",
     sql=f"""
@@ -352,10 +390,15 @@ def dedup_simhash(spark, sf_dir):
       FROM cand c JOIN s sa ON sa.doc_id = c.doc_a JOIN s sb ON sb.doc_id = c.doc_b)
     WHERE n_inter * 10 >= 3 * n_union
     """,
-    doc="n-gram Jaccard near-dup via inverted shingle index: explode distinct "
-        "shingles, equi-join on shingle (candidates = pairs sharing >=1 "
-        "shingle), exact Jaccard >= 0.3 verify — the classic similarity-join "
-        "plan that avoids the cross product",
+    doc="n-gram Jaccard near-dup via PREFIX-FILTERED inverted shingle index: "
+        "global shingle document-frequency orders each doc's shingles "
+        "rarest-first, and only the first n - ceil(t*n) + 1 are indexed "
+        "(t = 0.3) — the standard prefix-filter guarantee means any pair "
+        "with Jaccard >= t still shares an indexed shingle, so the final "
+        "result equals the unpruned plan (which is what the oracle SQL "
+        "computes), while stop-word-like shingles with huge df drop out of "
+        "nearly every doc's prefix instead of generating df² candidate "
+        "pairs at corpus scale.  Exact Jaccard >= 0.3 verify inside blocks",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     corpus = _neardup_corpus_s(spark, sf_dir)
@@ -365,14 +408,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .select("doc_id", F.array_distinct(F.expr(SHINGLES_S)).alias("shset"))
     )
     s = _persist(s)  # referenced 3× (inverted index + both verify re-joins)
-    inv = s.select("doc_id", F.explode("shset").alias("shingle"))
-    a, b = inv.alias("a"), inv.alias("b")
-    cand = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _prefix_filtered_candidates(s, threshold_pct=30)
     sa = s.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
     sb = s.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
     n_inter = F.size(F.array_intersect("sa", "sb"))
@@ -454,22 +490,54 @@ def ann_topk_cosine(spark, sf_dir):
             .select("query_id", "rank", "vec_id", "cos_sim"))
 
 
-# deterministic ±1 hyperplanes for sign-LSH: component j of plane h is
-# +1 iff (j * (h + 2)) % 5 < 2  (1-based j; identical expression both engines)
+# Deterministic ±1 hyperplanes for sign-LSH, as an md5-seeded literal sign
+# matrix inlined into both dialects (the old arithmetic family
+# (j*(h+2))%5 only had 5 distinct planes — useless past 4 planes).  Plane
+# count is a PARAMETER: buckets must grow with corpus size (16 fixed
+# buckets => n²/16 intra-bucket pairs — quadratic at 10^9 vectors).  The
+# banded OR-construction (N_EMB_BANDS bands of PPB planes) keeps recall:
+# a near-dup pair is a candidate if ANY band agrees on all its bits, so
+# more planes per band = exponentially more buckets, more bands = recall.
+EMB_DIM = 64
+PPB_DEDUP = 8        # planes per band for near-dup blocking: 256 buckets/band
+PPB_ANN = 4          # planes per band for ANN search: 16 buckets/band
+N_EMB_BANDS = 4
+
+
+def _plane_signs(h: int) -> list[int]:
+    import hashlib
+    out = []
+    for j in range(1, EMB_DIM + 1):
+        d = hashlib.md5(f"plane:{h}:{j}".encode()).digest()
+        out.append(1 if d[0] & 1 else -1)
+    return out
+
+
 def _plane_dot(vec: str, h: int, dialect: str) -> str:
-    if dialect == "spark":
-        return (f"aggregate(transform(sequence(1, size({vec})), "
-                f"j -> CASE WHEN (j * {h + 2}) % 5 < 2 THEN element_at({vec}, j) "
-                f"ELSE -element_at({vec}, j) END), 0L, (acc, v) -> acc + v)")
-    return (f"CAST(list_sum(list_transform(range(1, len({vec}) + 1), "
-            f"j -> CASE WHEN (j * {h + 2}) % 5 < 2 THEN {vec}[j] "
-            f"ELSE -{vec}[j] END)) AS BIGINT)")
+    """Literal ±element chain (exact int64 sum, order-free both engines)."""
+    elem = (lambda j: f"element_at({vec}, {j})") if dialect == "spark" \
+        else (lambda j: f"{vec}[{j}]")
+    signs = _plane_signs(h)
+    terms = [("+ " if s > 0 else "- ") + elem(j)
+             for j, s in zip(range(1, EMB_DIM + 1), signs)]
+    return "(0 " + " ".join(terms) + ")"
 
 
-def _bucket_expr(vec: str, dialect: str) -> str:
-    bits = [f"(CASE WHEN {_plane_dot(vec, h, dialect)} > 0 THEN {1 << h} ELSE 0 END)"
-            for h in range(4)]
+def _band_bucket(vec: str, dialect: str, band: int, ppb: int) -> str:
+    """Bucket id of `band`: ppb sign bits of planes [band*ppb, band*ppb+ppb)."""
+    bits = [f"(CASE WHEN {_plane_dot(vec, band * ppb + i, dialect)} > 0 "
+            f"THEN {1 << i} ELSE 0 END)" for i in range(ppb)]
     return "CAST((" + " + ".join(bits) + ") AS INT)"
+
+
+def _bands_array_s(vec: str, ppb: int):
+    return F.array(*[F.expr(_band_bucket(vec, "spark", k, ppb))
+                     for k in range(N_EMB_BANDS)])
+
+
+def _bands_array_d(vec: str, ppb: int) -> str:
+    return "[" + ", ".join(_band_bucket(vec, "duck", k, ppb)
+                           for k in range(N_EMB_BANDS)) + "]"
 
 
 @register(
@@ -478,50 +546,64 @@ def _bucket_expr(vec: str, dialect: str) -> str:
     WITH e AS (
       SELECT vec_id, {QUANT_D} AS qv FROM embeddings),
     b AS (
-      SELECT vec_id, qv, {_bucket_expr('qv', 'duck')} AS bucket,
+      SELECT vec_id, qv, {_bands_array_d('qv', PPB_ANN)} AS bands,
              (SELECT {NORM_D} FROM (SELECT qv AS q) x) AS nrm
       FROM e),
-    q AS (SELECT vec_id AS query_id, qv AS qa, bucket, nrm AS na
-          FROM b WHERE vec_id < 3),
-    c AS (SELECT vec_id, qv AS cv, bucket, nrm AS nc FROM b WHERE vec_id >= 3),
+    qx AS (SELECT vec_id AS query_id, i AS band_idx, bands[i] AS bucket
+           FROM b, unnest(range(1, {N_EMB_BANDS + 1})) AS u(i) WHERE vec_id < 3),
+    cx AS (SELECT vec_id, i AS band_idx, bands[i] AS bucket
+           FROM b, unnest(range(1, {N_EMB_BANDS + 1})) AS u(i) WHERE vec_id >= 3),
+    cand AS (
+      SELECT DISTINCT qx.query_id, cx.vec_id
+      FROM qx JOIN cx ON qx.band_idx = cx.band_idx AND qx.bucket = cx.bucket),
     scored AS (
-      SELECT q.query_id, q.bucket, c.vec_id,
-             CAST(list_sum(list_transform(range(1, len(q.qa) + 1),
-                  i -> q.qa[i] * c.cv[i])) AS DOUBLE)
-               / (sqrt(CAST(q.na AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE))) AS cos_sim
-      FROM q JOIN c ON q.bucket = c.bucket)
-    SELECT query_id, bucket, rank, vec_id, cos_sim FROM (
-      SELECT query_id, bucket, vec_id, cos_sim,
+      SELECT c.query_id, c.vec_id,
+             CAST(list_sum(list_transform(range(1, len(bq.qv) + 1),
+                  i -> bq.qv[i] * bc.qv[i])) AS DOUBLE)
+               / (sqrt(CAST(bq.nrm AS DOUBLE)) * sqrt(CAST(bc.nrm AS DOUBLE)))
+               AS cos_sim
+      FROM cand c JOIN b bq ON bq.vec_id = c.query_id
+      JOIN b bc ON bc.vec_id = c.vec_id)
+    SELECT query_id, rank, vec_id, cos_sim FROM (
+      SELECT query_id, vec_id, cos_sim,
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY cos_sim DESC, vec_id ASC) AS rank
       FROM scored) WHERE rank <= 5
     """,
-    doc="sign-LSH bucketed ANN (the scale path): 4 deterministic ±1 "
-        "hyperplanes → 16 buckets; candidates come from an equi-join on "
-        "bucket id instead of a cross join, then exact cosine top-5",
+    doc="sign-LSH bucketed ANN (the scale path): banded OR-construction — "
+        "4 bands x 4 md5-seeded ±1 hyperplanes; candidates = pairs agreeing "
+        "on ANY band's bucket (equi-join on (band, bucket), never a cross "
+        "join), then exact cosine top-5.  Bucket count per band grows "
+        "2^planes — at 10^9 vectors raise PPB_ANN, not the code",
 )
 def ann_lsh_bucketed(spark, sf_dir):
     e = (t(spark, sf_dir, "embeddings")
          .select("vec_id", F.expr(QUANT_S).alias("qv")))
-    b = (e.withColumn("bucket", F.expr(_bucket_expr("qv", "spark")))
+    b = (e.withColumn("bands", _bands_array_s("qv", PPB_ANN))
          .withColumn("nrm", F.expr(
              "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")))
+    qx = (b.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.posexplode("bands").alias("band_idx", "bucket")))
+    cx = (b.filter(F.col("vec_id") >= 3)
+          .select("vec_id", F.posexplode("bands").alias("band_idx", "bucket")))
+    cand = (cx.join(F.broadcast(qx), ["band_idx", "bucket"])
+            .select("query_id", "vec_id").distinct())
     q = (b.filter(F.col("vec_id") < 3)
          .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"),
-                 "bucket", F.col("nrm").alias("na")))
+                 F.col("nrm").alias("na")))
     c = (b.filter(F.col("vec_id") >= 3)
-         .select("vec_id", F.col("qv").alias("qb"), "bucket",
-                 F.col("nrm").alias("nb")))
+         .select("vec_id", F.col("qv").alias("qb"), F.col("nrm").alias("nb")))
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        cand.join(F.broadcast(q), "query_id").join(c, "vec_id")
         .withColumn("dot", F.expr(DOT_S))
         .withColumn("cos_sim", F.expr(COS))
-        .select("query_id", "bucket", "vec_id", "cos_sim")
+        .select("query_id", "vec_id", "cos_sim")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 5)
-            .select("query_id", "bucket", "rank", "vec_id", "cos_sim"))
+            .select("query_id", "rank", "vec_id", "cos_sim"))
 
 
 @register(
@@ -620,20 +702,30 @@ def ann_ivf_probe(spark, sf_dir):
                     END) AS qv
       FROM embeddings WHERE vec_id % 4 = 0),
     b AS (
-      SELECT vec_id, qv, {_bucket_expr('qv', 'duck')} AS bucket,
+      SELECT vec_id, qv, {_bands_array_d('qv', PPB_DEDUP)} AS bands,
              (SELECT {NORM_D} FROM (SELECT qv AS q) x) AS nrm
-      FROM base)
+      FROM base),
+    ex AS (SELECT vec_id, i AS band_idx, bands[i] AS bucket
+           FROM b, unnest(range(1, {N_EMB_BANDS + 1})) AS u(i)),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM ex a JOIN ex y
+        ON a.band_idx = y.band_idx AND a.bucket = y.bucket
+       AND a.vec_id < y.vec_id)
     SELECT vec_a, vec_b, cos_sim FROM (
-      SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+      SELECT c.vec_a, c.vec_b,
              CAST(list_sum(list_transform(range(1, 65),
-                  i -> a.qv[i] * b2.qv[i])) AS DOUBLE)
-               / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b2.nrm AS DOUBLE))) AS cos_sim
-      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+                  i -> ba.qv[i] * bb.qv[i])) AS DOUBLE)
+               / (sqrt(CAST(ba.nrm AS DOUBLE)) * sqrt(CAST(bb.nrm AS DOUBLE))) AS cos_sim
+      FROM cand c JOIN b ba ON ba.vec_id = c.vec_a JOIN b bb ON bb.vec_id = c.vec_b)
     WHERE cos_sim >= 0.98
     """,
-    doc="embedding-cosine near-dup: sign-LSH bucket blocking then exact "
-        "quantized cosine >= 0.98 inside buckets; working set = embeddings ∪ "
-        "slightly-perturbed copies (first 8 dims × 0.9) of vec_id%%4==0",
+    doc="embedding-cosine near-dup: banded sign-LSH blocking (4 bands x 8 "
+        "md5-seeded hyperplanes = 256 buckets per band, OR across bands for "
+        "recall) then exact quantized cosine >= 0.98 inside blocks; working "
+        "set = embeddings ∪ slightly-perturbed copies (first 8 dims × 0.9) "
+        "of vec_id%%4==0.  Bucket count scales 2^PPB_DEDUP — grow it with "
+        "corpus size so intra-bucket pair counts stay linear",
 )
 def dedup_embedding_cosine(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
@@ -648,16 +740,25 @@ def dedup_embedding_cosine(spark, sf_dir):
             .select((F.col("vec_id") + 100000).alias("vec_id"),
                     perturbed.alias("qv")))
     )
-    b = (base.withColumn("bucket", F.expr(_bucket_expr("qv", "spark")))
+    b = (base.withColumn("bands", _bands_array_s("qv", PPB_DEDUP))
          .withColumn("nrm", F.expr(
              "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")))
-    a = b.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"),
-                 "bucket", F.col("nrm").alias("na"))
-    c = b.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"),
-                 "bucket", F.col("nrm").alias("nb"))
+    b = _persist(b)   # referenced 3x: band explode + both verify re-joins
+    ex = b.select("vec_id", F.posexplode("bands").alias("band_idx", "bucket"))
+    a, y = ex.alias("a"), ex.alias("y")
+    cand = (
+        a.join(y, (F.col("a.band_idx") == F.col("y.band_idx"))
+               & (F.col("a.bucket") == F.col("y.bucket"))
+               & (F.col("a.vec_id") < F.col("y.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = b.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"),
+                  F.col("nrm").alias("na"))
+    vb = b.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"),
+                  F.col("nrm").alias("nb"))
     return (
-        a.join(c, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cand.join(va, "vec_a").join(vb, "vec_b")
         .withColumn("dot", F.expr(DOT_S))
         .withColumn("cos_sim", F.expr(COS))
         .filter(F.col("cos_sim") >= 0.98)
