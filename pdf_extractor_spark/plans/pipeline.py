@@ -28,6 +28,38 @@ from ..sources import catalog
 LINEAGE_SUBDIR = "lineage"
 EXTRACTED_SUBDIR = "extracted"
 
+# closed output-kind set (core/extract.py contract; FIXTURES.md §5)
+OUTPUT_KINDS = ("title", "h1", "h2", "h3", "h4", "body", "media")
+
+
+def validate_extracted(df: DataFrame) -> DataFrame:
+    """Schema/contract validation over written output rows — the analog of
+    the reference's JSON-Schema pass over every output file
+    (``1A/validate_outputs.py:10-22``), expressed as array predicates so
+    one column-pruned scan validates 10^12 docs with no shuffle beyond a
+    tiny per-partition count.
+
+    A row is valid iff EITHER it is an error record (parse_failures=1,
+    empty spans) OR: spans non-empty, title first, offsets dense 0..n-1,
+    every kind in the closed set, and n_spans consistent.  Returns
+    (part_id, docs_checked, violations).
+    """
+    kinds_ok = F.expr(
+        "forall(spans, s -> s.kind IN ({}))".format(
+            ", ".join(f"'{k}'" for k in OUTPUT_KINDS)))
+    dense = F.expr(
+        "transform(spans, s -> s.offset) == sequence(0, size(spans) - 1)")
+    title_first = F.expr("spans[0].kind = 'title'")
+    consistent = F.col("n_spans") == F.size("spans")
+    is_error_rec = (F.col("parse_failures") == 1) & (F.size("spans") == 0)
+    valid = consistent & (
+        is_error_rec
+        | ((F.size("spans") >= 1) & title_first & dense & kinds_ok))
+    return (df.withColumn("ok", valid)
+            .groupBy("part_id")
+            .agg(F.count("*").alias("docs_checked"),
+                 F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("violations")))
+
 
 def committed_partitions(spark: SparkSession, lineage_loc: str) -> list[int]:
     import os
@@ -97,6 +129,27 @@ def run_extraction(
     )
     catalog.append(lineage, lin_loc)
 
+    # post-write validation pass (1A/validate_outputs.py analog): appended
+    # as its own lineage status so failures surface durably, not silently.
+    # Column reuse: doc_count = docs checked, parse_failures = violations.
+    vstats = validate_extracted(newly)
+    validation = (
+        vstats.select(
+            F.lit(snapshot).alias("source_snapshot"),
+            F.col("part_id").cast("int").alias("partition_id"),
+            F.col("docs_checked").cast("long").alias("doc_count"),
+            F.lit(0).cast("long").alias("span_count"),
+            F.col("violations").cast("long").alias("parse_failures"),
+            F.lit(0).cast("long").alias("wall_ms"),
+            F.when(F.col("violations") > 0, "validation_failed")
+             .otherwise("validated").alias("status"),
+        ))
+    catalog.append(validation, lin_loc)
+    violations_total = int(
+        spark.read.parquet(lin_loc)
+        .filter(F.col("status") == "validation_failed")
+        .agg(F.sum("parse_failures")).collect()[0][0] or 0)
+
     stats = (spark.read.parquet(lin_loc).filter(F.col("status") == "committed")
              .agg(F.count("*").alias("parts"),
                   F.sum("doc_count").alias("docs"),
@@ -115,6 +168,7 @@ def run_extraction(
         "docs_total_committed": int(stats.docs or 0),
         "spans_total": int(stats.spans or 0),
         "parse_failures": int(stats.failures or 0),
+        "validation_violations": violations_total,
         "wall_s": wall_s,
         "skipped_committed": len(committed),
     }
