@@ -46,8 +46,10 @@ class TestEndToEnd:
     def test_lineage_consistency(self, spark, run_dir):
         out, metrics = run_dir
         lin = pipeline.read_lineage(spark, out)
-        rows = lin.collect()
-        assert all(r.status == "committed" for r in rows)
+        all_rows = lin.collect()
+        # commit rows + the post-write validation pass rows, nothing else
+        assert {r.status for r in all_rows} == {"committed", "validated"}
+        rows = [r for r in all_rows if r.status == "committed"]
         assert sum(r.doc_count for r in rows) == metrics["docs_total_committed"]
         ext = pipeline.read_extracted(spark, out)
         per_part = {r.part_id: r["cnt"] for r in
