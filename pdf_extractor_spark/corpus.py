@@ -514,13 +514,16 @@ def _plane_signs(h: int) -> list[int]:
 
 
 def _plane_dot(vec: str, h: int, dialect: str) -> str:
-    """Literal ±element chain (exact int64 sum, order-free both engines)."""
-    elem = (lambda j: f"element_at({vec}, {j})") if dialect == "spark" \
-        else (lambda j: f"{vec}[{j}]")
-    signs = _plane_signs(h)
-    terms = [("+ " if s > 0 else "- ") + elem(j)
-             for j, s in zip(range(1, EMB_DIM + 1), signs)]
-    return "(0 " + " ".join(terms) + ")"
+    """Signed dot against a literal sign vector (exact int64 sum both
+    engines).  The signs ride as a small array literal + zip_with/
+    list_transform — NOT a 64-term ±element chain, which balloons the
+    expression tree past what Catalyst will codegen (measured 6x slower)."""
+    signs = ", ".join(str(s) for s in _plane_signs(h))
+    if dialect == "spark":
+        return (f"aggregate(zip_with({vec}, array({signs}), "
+                f"(x, s) -> x * CAST(s AS BIGINT)), 0L, (acc, v) -> acc + v)")
+    return (f"CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+            f"i -> {vec}[i] * ([{signs}])[i])) AS BIGINT)")
 
 
 def _band_bucket(vec: str, dialect: str, band: int, ppb: int) -> str:
@@ -582,6 +585,7 @@ def ann_lsh_bucketed(spark, sf_dir):
     b = (e.withColumn("bands", _bands_array_s("qv", PPB_ANN))
          .withColumn("nrm", F.expr(
              "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")))
+    b = _persist(b)   # referenced 4x (qx/cx band explodes + q/c vector legs)
     qx = (b.filter(F.col("vec_id") < 3)
           .select(F.col("vec_id").alias("query_id"),
                   F.posexplode("bands").alias("band_idx", "bucket")))
