@@ -20,6 +20,44 @@ import os
 import sys
 
 
+def _run_selection(spark, input_path: str, config_path: str, out_path: str,
+                   timestamp: str) -> dict:
+    """One collection's selection run: config JSON → record JSON file."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from .plans.selection import (build_selection_records,
+                                  load_collection_config, persona_keywords,
+                                  selection_plan)
+    with open(config_path) as fh:
+        cfg = load_collection_config(json.load(fh))
+    kws = persona_keywords(cfg["persona"], cfg["job_to_be_done"])
+    proc = cfg.get("processing_config", {})
+    docs = spark.read.parquet(input_path).select("doc_id", "source", "text")
+    names = [d["filename"] for d in cfg.get("documents", [])]
+    if names:
+        docs = docs.filter(F.col("source").isin(names))
+    t0 = time.perf_counter()
+    sel = selection_plan(docs, kws,
+                         max_sections=proc.get("max_sections", 25),
+                         min_score=proc.get("min_relevance_score", 0.5))
+    # bounded collect: <= max_sections rows per collection by construction
+    rows = [r.asDict() for r in sel.collect()]
+    records = build_selection_records(
+        rows, cfg["persona"], cfg["job_to_be_done"], timestamp)
+    with open(out_path, "w") as fh:
+        json.dump(records, fh, indent=2, sort_keys=True)
+    return {
+        "mode": "selection", "collection_name": cfg["collection_name"],
+        "persona": cfg["persona"], "n_keywords": len(kws),
+        "collections": len(records),
+        "sections_total": sum(len(r["extracted_sections"])
+                              for r in records.values()),
+        "wall_s": round(time.perf_counter() - t0, 3),
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pdf_extractor_spark")
     ap.add_argument("--input", required=True, help="documents table (parquet path or Iceberg name)")
@@ -35,6 +73,11 @@ def main(argv: list[str] | None = None) -> int:
                          "selection mode: --input is a documents table "
                          "(doc_id, source, text), output is the per-collection "
                          "challenge1b_output record JSON at --output")
+    ap.add_argument("--collections-dir", default=None,
+                    help="batch selection mode (reference --mode batch, "
+                         "1B/main.py:186-199): process every subdirectory "
+                         "containing an input JSON; one record file per "
+                         "collection written under --output")
     ap.add_argument("--timestamp", default="1970-01-01T00:00:00",
                     help="processing_timestamp stamped into selection records "
                          "(explicit for reproducible outputs)")
@@ -44,40 +87,33 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("pdf_extractor_spark.cli", master=args.master)
 
     if args.config:
-        import time
-
-        from pyspark.sql import functions as F
-
-        from .plans.selection import (build_selection_records,
-                                      load_collection_config, persona_keywords,
-                                      selection_plan)
-        with open(args.config) as fh:
-            cfg = load_collection_config(json.load(fh))
-        kws = persona_keywords(cfg["persona"], cfg["job_to_be_done"])
-        proc = cfg.get("processing_config", {})
-        docs = spark.read.parquet(args.input).select("doc_id", "source", "text")
-        names = [d["filename"] for d in cfg.get("documents", [])]
-        if names:
-            docs = docs.filter(F.col("source").isin(names))
-        t0 = time.perf_counter()
-        sel = selection_plan(docs, kws,
-                             max_sections=proc.get("max_sections", 25),
-                             min_score=proc.get("min_relevance_score", 0.5))
-        # bounded collect: <= max_sections rows per collection by construction
-        rows = [r.asDict() for r in sel.collect()]
-        records = build_selection_records(
-            rows, cfg["persona"], cfg["job_to_be_done"], args.timestamp)
-        with open(args.output, "w") as fh:
-            json.dump(records, fh, indent=2, sort_keys=True)
-        print(json.dumps({
-            "mode": "selection", "collection_name": cfg["collection_name"],
-            "persona": cfg["persona"], "n_keywords": len(kws),
-            "collections": len(records),
-            "sections_total": sum(len(r["extracted_sections"])
-                                  for r in records.values()),
-            "wall_s": round(time.perf_counter() - t0, 3),
-        }))
+        metrics = _run_selection(spark, args.input, args.config, args.output,
+                                 args.timestamp)
+        print(json.dumps(metrics))
         return 0
+
+    if args.collections_dir:
+        # batch mode (1B/main.py:186-199): every subdir with an input JSON
+        # is a collection; records land at --output/<collection>.json
+        import glob
+
+        os.makedirs(args.output, exist_ok=True)
+        results = {}
+        for sub in sorted(glob.glob(f"{args.collections_dir}/*/")):
+            cfg_path = next(
+                (p for name in ("input.json", "challenge1b_input.json",
+                                "challenge_input.json")
+                 if os.path.exists(p := os.path.join(sub, name))), None)
+            if cfg_path is None:
+                continue
+            name = os.path.basename(sub.rstrip("/"))
+            results[name] = _run_selection(
+                spark, args.input, cfg_path,
+                os.path.join(args.output, f"{name}.json"), args.timestamp)
+        print(json.dumps({"mode": "batch_selection",
+                          "collections_processed": len(results),
+                          "results": results}))
+        return 0 if results else 1
 
     if args.gen_docs:
         from .gen import gen_corpus

@@ -277,14 +277,15 @@ def dedup_minhash_lsh(spark, sf_dir):
 # D3. SimHash near-dup (16-bit signature, hamming distance on engineered pairs)
 # ---------------------------------------------------------------------------
 
-def _simhash_expr(dialect: str) -> str:
-    """16-bit simhash over a column `hs` = array of per-word md5 hex strings.
+def _simhash_expr(dialect: str, nbits: int = 16) -> str:
+    """``nbits``-bit simhash over a column `hs` = array of per-word md5 hex
+    strings (md5 has 32 hex digits, so nbits <= 32).
 
     Bit j votes +1/-1 on the parity of hex digit j of each word hash;
     bit set iff the vote sum is strictly positive.
     """
     terms = []
-    for j in range(16):
+    for j in range(nbits):
         digit = f"substr(h, {j + 1}, 1)"
         if dialect == "spark":
             nib = f"(instr('0123456789abcdef', {digit}) - 1)"
@@ -294,8 +295,9 @@ def _simhash_expr(dialect: str) -> str:
             nib = f"(strpos('0123456789abcdef', {digit}) - 1)"
             vote = (f"CAST(list_sum(list_transform(hs, h -> "
                     f"CASE WHEN {nib} % 2 = 1 THEN 1 ELSE -1 END)) AS INT)")
-        terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << j} ELSE 0 END)")
-    return "CAST((" + " + ".join(terms) + ") AS INT)"
+        terms.append(f"(CASE WHEN {vote} > 0 THEN CAST({1 << j} AS BIGINT) "
+                     f"ELSE 0 END)")
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
 
 
 @register(
@@ -331,6 +333,72 @@ def dedup_simhash(spark, sf_dir):
                 F.col("o.simhash").alias("sim_a"), F.col("c.simhash").alias("sim_b"),
                 ham.alias("hamming"), (ham <= 3).alias("is_near"))
     )
+
+
+@register(
+    "dedup_simhash_blocked",
+    sql=f"""
+    WITH {NEARDUP_CORPUS_D},
+    sigs AS (
+      SELECT doc_id, {_simhash_expr('duck', 32)} AS simhash
+      FROM (SELECT doc_id, list_transform({WORDS_D}, w -> md5(w)) AS hs
+            FROM corpus)
+      WHERE len(hs) >= 1),
+    ex AS (
+      SELECT doc_id, simhash, i AS band_idx,
+             (simhash // CASE i WHEN 1 THEN 1 WHEN 2 THEN 256
+                                WHEN 3 THEN 65536 ELSE 16777216 END) % 256
+               AS band_bits
+      FROM sigs, unnest(range(1, 5)) AS u(i)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ex a JOIN ex b
+        ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+       AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT c.doc_a, c.doc_b,
+             bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+      FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b)
+    WHERE hamming <= 3
+    """,
+    doc="SimHash near-dup at scale (the production pairing dedup_simhash's "
+        "engineered-id join avoids): pigeonhole banding — a 32-bit signature "
+        "split into 4 disjoint 8-bit bands; any pair within hamming distance "
+        "3 must agree exactly on >= 1 band, so candidates come from an "
+        "equi-join on (band_idx, band_bits) — never all-pairs — and exact "
+        "bit_count verifies <= 3 inside blocks.  The signature is twice "
+        "dedup_simhash's 16 bits: band space must outgrow the corpus or "
+        "random collisions degenerate the join (at 10^9 docs go 64-bit, "
+        "k+1 bands for hamming k)",
+)
+def dedup_simhash_blocked(spark, sf_dir):
+    corpus = _neardup_corpus_s(spark, sf_dir)
+    sigs = (
+        corpus.select("doc_id", F.expr(f"transform({WORDS_S}, w -> md5(w))").alias("hs"))
+        .filter(F.size("hs") >= 1)
+        .select("doc_id", F.expr(_simhash_expr("spark", 32)).alias("simhash"))
+    )
+    sigs = _persist(sigs)   # referenced 3x: band explode + both verify legs
+    ex = (sigs.select("doc_id", "simhash",
+                      F.explode(F.expr("sequence(1, 4)")).alias("band_idx"))
+          .withColumn("band_bits", F.expr(
+              "(simhash div CASE band_idx WHEN 1 THEN 1 WHEN 2 THEN 256 "
+              "WHEN 3 THEN 65536 ELSE 16777216 END) % 256")))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_bits") == F.col("b.band_bits"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    ham = F.expr("bit_count(sim_a ^ sim_b)").cast("int")
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= 3))
 
 
 # ---------------------------------------------------------------------------
@@ -689,6 +757,135 @@ def ann_ivf_probe(spark, sf_dir):
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 5)
             .select("query_id", "rank", "vec_id", "label", "cos_sim"))
+
+
+# centroid-side cosine helpers for k-means IVF (int vector x double centroid;
+# sequential double sums — same evaluation order both engines, a pattern the
+# existing ann_ivf_probe centroid math already hash-validates cross-engine)
+_CDOT_S = ("aggregate(zip_with(qv, cv, (x, y) -> CAST(x AS DOUBLE) * y), "
+           "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+_CNRM_S = ("sqrt(aggregate(zip_with(cv, cv, (x, y) -> x * y), "
+           "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+_CDOT_D = ("CAST(list_sum(list_transform(range(1, 65), "
+           "i -> CAST(d.qv[i] AS DOUBLE) * c.cv[i])) AS DOUBLE)")
+_CNRM_D = ("sqrt(CAST(list_sum(list_transform(range(1, 65), "
+           "i -> c.cv[i] * c.cv[i])) AS DOUBLE))")
+
+K_IVF = 8
+
+
+def _kmeans_sql_iter(it: int) -> str:
+    """One unrolled Lloyd iteration in DuckDB SQL: assign to the nearest
+    centroid (cosine, cell tie-break), then recompute per-cell means."""
+    return f"""
+    assign{it} AS (
+      SELECT vec_id, cell FROM (
+        SELECT d.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                 ORDER BY {_CDOT_D} / {_CNRM_D} DESC, c.cell ASC) AS rn
+        FROM data d CROSS JOIN cent{it} c) WHERE rn = 1),
+    dims{it} AS (
+      SELECT a.cell, u.i AS dim, AVG(d.qv[u.i]) AS cval
+      FROM assign{it} a JOIN data d ON d.vec_id = a.vec_id,
+           unnest(range(1, 65)) AS u(i)
+      GROUP BY a.cell, u.i),
+    cent{it + 1} AS (
+      SELECT cell, array_agg(cval ORDER BY dim) AS cv
+      FROM dims{it} GROUP BY cell)"""
+
+
+@register(
+    "ann_ivf_kmeans",
+    sql=f"""
+    WITH e AS (SELECT vec_id, {QUANT_D} AS qv FROM embeddings),
+    data AS (SELECT vec_id, qv FROM e WHERE vec_id >= 3),
+    cent0 AS (
+      SELECT vec_id - 3 AS cell, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
+      FROM e WHERE vec_id >= 3 AND vec_id < {3 + K_IVF}),
+    {_kmeans_sql_iter(0)},
+    {_kmeans_sql_iter(1)},
+    q AS (
+      SELECT vec_id AS query_id, qv,
+             (SELECT {NORM_D} FROM (SELECT qv AS q) x) AS na
+      FROM e WHERE vec_id < 3),
+    probe AS (
+      SELECT query_id, cell FROM (
+        SELECT d.query_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY d.query_id
+                 ORDER BY {_CDOT_D} / {_CNRM_D} DESC, c.cell ASC) AS rn
+        FROM (SELECT query_id, qv FROM q) d CROSS JOIN cent2 c) WHERE rn <= 2),
+    scored AS (
+      SELECT q.query_id, a.cell, d.vec_id,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> q.qv[i] * d.qv[i])) AS DOUBLE)
+               / (sqrt(CAST(q.na AS DOUBLE))
+                  * sqrt(CAST((SELECT {NORM_D} FROM (SELECT d.qv AS q) x) AS DOUBLE)))
+               AS cos_sim
+      FROM q JOIN probe p ON p.query_id = q.query_id
+      JOIN assign1 a ON a.cell = p.cell
+      JOIN data d ON d.vec_id = a.vec_id)
+    SELECT query_id, rank, vec_id, cell, cos_sim FROM (
+      SELECT query_id, vec_id, cell, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+    doc="IVF-ANN with LEARNED centroids: deterministic k-means (seed = the "
+        f"{K_IVF} lowest corpus vec_ids, 2 unrolled Lloyd iterations — "
+        "assign via broadcast cross join + argmax window, means via "
+        "posexplode avg), then probe the 2 nearest learned cells per query "
+        "and exact-cosine top-5 inside them.  Replaces ann_ivf_probe's "
+        "label-as-centroid shortcut with the production construction; "
+        "search cost still scales with the probed fraction, training is "
+        "O(iters * K * n) map-side",
+)
+def ann_ivf_kmeans(spark, sf_dir):
+    e = (t(spark, sf_dir, "embeddings")
+         .select("vec_id", F.expr(QUANT_S).alias("qv")))
+    data = e.filter(F.col("vec_id") >= 3)
+    data = _persist(data)
+    cents = (e.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 3 + K_IVF))
+             .select((F.col("vec_id") - 3).alias("cell"),
+                     F.expr("transform(qv, x -> CAST(x AS DOUBLE))").alias("cv")))
+    assign_last = None
+    for _ in range(2):
+        wa = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+        assign_last = (data.crossJoin(F.broadcast(cents))
+                       .withColumn("ccos", F.expr(f"{_CDOT_S} / {_CNRM_S}"))
+                       .withColumn("rn", F.row_number().over(wa))
+                       .filter("rn = 1").select("vec_id", "cell"))
+        dims = (assign_last.join(data, "vec_id")
+                .select("cell", F.posexplode("qv").alias("dim0", "val"))
+                .groupBy("cell", "dim0").agg(F.avg("val").alias("cval")))
+        cents = (dims.groupBy("cell")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("dim0", "cval"))),
+                     lambda s: s["cval"]).alias("cv")))
+    q = (e.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"))
+         .withColumn("na", F.expr(
+             "aggregate(zip_with(qa, qa, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")))
+    wp = W.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    probe = (q.select("query_id", F.col("qa").alias("qv"))
+             .crossJoin(F.broadcast(cents))
+             .withColumn("ccos", F.expr(f"{_CDOT_S} / {_CNRM_S}"))
+             .withColumn("rn", F.row_number().over(wp))
+             .filter(F.col("rn") <= 2).select("query_id", "cell"))
+    cand = (assign_last.join(data, "vec_id")
+            .withColumnRenamed("qv", "qb")
+            .withColumn("nb", F.expr(
+                "aggregate(zip_with(qb, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")))
+    scored = (
+        cand.join(F.broadcast(probe), "cell")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("dot", F.expr(DOT_S))
+        .withColumn("cos_sim", F.expr(COS))
+        .select("query_id", "vec_id", "cell", "cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "rank", "vec_id", "cell", "cos_sim"))
 
 
 @register(

@@ -75,6 +75,32 @@ class TestEmbeddingLshRecall:
         assert len(eng) == n_expected
 
 
+class TestSimhashBlocking:
+    def test_pigeonhole_recall(self, spark):
+        """Every engineered original/truncated pair within 32-bit hamming
+        distance 3 must be found by the banded variant (4 disjoint 8-bit
+        bands + hamming 3 => at least one band matches exactly)."""
+        from pdf_extractor_spark.corpus import _simhash_expr
+        sigs = (
+            _neardup_corpus_s(spark, SF_DIR)
+            .select("doc_id",
+                    F.expr(f"transform({WORDS_S}, w -> md5(w))").alias("hs"))
+            .filter(F.size("hs") >= 1)
+            .select("doc_id", F.expr(_simhash_expr("spark", 32)).alias("simhash"))
+        )
+        o, c = sigs.alias("o"), sigs.alias("c")
+        eng = (o.join(c, F.col("c.doc_id") == F.col("o.doc_id") + 2000000)
+               .select(F.col("o.doc_id").alias("doc_a"),
+                       F.col("c.doc_id").alias("doc_b"),
+                       F.expr("bit_count(o.simhash ^ c.simhash)").alias("ham")))
+        want = {(r.doc_a, r.doc_b) for r in eng.collect() if r.ham <= 3}
+        assert want, "fixture should contain near pairs"
+        got = {(r.doc_a, r.doc_b)
+               for r in REGISTRY["dedup_simhash_blocked"].spark(spark, SF_DIR)
+               .collect()}
+        assert want <= got, want - got
+
+
 class TestMinhashBandWidth:
     def test_band_keys_are_64_bit(self, spark):
         """Widened lanes: band keys must be 16 hex chars (64 bits), not 8."""

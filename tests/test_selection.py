@@ -141,6 +141,31 @@ class TestRecordAssembly:
         assert rec["metadata"]["processing_timestamp"] == "2026-01-01T00:00:00"
 
 
+class TestCliBatchMode:
+    def test_collections_dir(self, tmp_path):
+        for name, srcs in (("colA", ["src0"]), ("colB", ["src1", "src2"])):
+            d = tmp_path / "cols" / name
+            d.mkdir(parents=True)
+            cfg = dict(CHALLENGE)
+            cfg["documents"] = [{"filename": s} for s in srcs]
+            (d / "input.json").write_text(json.dumps(cfg))
+        # a dir with no input JSON must be skipped, not crash
+        (tmp_path / "cols" / "empty").mkdir()
+        out = tmp_path / "out"
+        proc = subprocess.run(
+            [sys.executable, "-m", "pdf_extractor_spark.cli",
+             "--input", f"{SF_DIR}/documents.parquet",
+             "--output", str(out), "--collections-dir", str(tmp_path / "cols"),
+             "--master", "local[4]"],
+            capture_output=True, text=True, timeout=300)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        metrics = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert metrics["collections_processed"] == 2
+        a = json.loads((out / "colA.json").read_text())
+        b = json.loads((out / "colB.json").read_text())
+        assert set(a) == {"src0"} and set(b) == {"src1", "src2"}
+
+
 class TestCliSelectionMode:
     def test_end_to_end(self, tmp_path):
         cfg_path = tmp_path / "input.json"
