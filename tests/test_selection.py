@@ -113,6 +113,18 @@ class TestSelectionPlan:
         assert rows[0].refined_text.count(".") <= 3
         assert rows[0].refined_text.startswith("one alpha.")
 
+    def test_partitioning_invariance(self, spark, selected):
+        """Total window orderings make the selection identical no matter how
+        the input is partitioned (a cluster-resize must not change output)."""
+        docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                .select("doc_id", "source", "text").repartition(7, "doc_id"))
+        kws = persona_keywords("analyst",
+                               "Analyze performance trends in query data")
+        again = selection_plan(docs, kws, max_sections=5, min_score=0.5).collect()
+        key = lambda rows: sorted((r.source, r.importance_rank, r.doc_id,
+                                   r.section_title, r.refined_text) for r in rows)
+        assert key(again) == key(selected)
+
     def test_title_is_first_8_words(self, selected):
         r = selected[0]
         assert len(r.section_title.split(" ")) <= 8
