@@ -60,3 +60,56 @@ def test_streaming_incremental_parity_and_exactly_once(spark, tmp_path):
     # idempotent: nothing new → no change
     incremental_extraction(spark, str(inp), str(out), num_partitions=8)
     assert collect_spans(spark, str(out)) == golden2
+
+
+def test_stateful_partition_stats_accumulate(spark, tmp_path):
+    """applyInPandasWithState tallies accumulate across separate runs via
+    the checkpoint state store, and agree with a batch recount."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.extraction import with_partition_id
+    from pdf_extractor_spark.streaming.stateful import stateful_partition_stats
+
+    inp = tmp_path / "docs"
+    ckpt = str(tmp_path / "ckpt")
+    inp.mkdir()
+
+    def run(_name):
+        updates = []
+        stats = stateful_partition_stats(spark, str(inp), num_partitions=4)
+        q = (stats.writeStream
+             .foreachBatch(lambda bdf, _eid: updates.extend(bdf.collect()))
+             .option("checkpointLocation", ckpt)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+        # latest update per part_id wins
+        latest = {}
+        for r in updates:
+            latest[r.part_id] = (r.docs_total, r.spans_total, r.failures_total)
+        return latest
+
+    write_rows(gen_corpus(40, seed=11), str(inp / "b1.parquet"))
+    first = run("stats1")
+    assert sum(v[0] for v in first.values()) == 40
+
+    # second run, same checkpoint: only the new file is processed, but
+    # emitted totals INCLUDE the restored state from run 1
+    more = [gen_doc(f"extra-{i:04d}", seed=11) for i in range(25)]
+    write_rows(more, str(inp / "b2.parquet"))
+    second = run("stats2")
+    assert sum(v[0] for v in second.values()) == 65
+
+    # tallies agree exactly with a batch recount over the same corpus
+    batch = spark.createDataFrame(gen_corpus(40, seed=11) + more,
+                                  schema="doc_id string, spans array<struct<"
+                                  "kind:string,text:string,media_ref:string,"
+                                  "offset:int>>")
+    from pdf_extractor_spark.operators.extraction import extract_operator
+    got = {r.part_id: (r.docs, r.spans, r.fails)
+           for r in extract_operator(
+               with_partition_id(batch, 4).drop("part_id").select("doc_id", "spans"), 4)
+           .groupBy("part_id")
+           .agg(F.count("*").alias("docs"), F.sum("n_spans").alias("spans"),
+                F.sum("parse_failures").alias("fails")).collect()}
+    assert {k: tuple(map(int, v)) for k, v in second.items()} == \
+        {k: tuple(map(int, v)) for k, v in got.items()}
