@@ -49,6 +49,18 @@ def write_partitioned(df: DataFrame, location: str, partition_cols: list[str],
     df.write.mode(mode).partitionBy(*partition_cols).parquet(location)
 
 
+def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 16) -> None:
+    """Persist a table bucketed+sorted on ``key`` so repeated joins/aggs on
+    that key are co-located — no exchange at read time (the brief's
+    "bucketing for co-located joins" lever; Iceberg's equivalent is a
+    ``bucket(N, key)`` partition transform).  At 100 TB this is the right
+    storage layout for any table joined on its key more than once: the
+    shuffle is paid once at write, never per query."""
+    (df.write.mode("overwrite")
+     .bucketBy(n_buckets, key).sortBy(key)
+     .format("parquet").saveAsTable(table))
+
+
 def append(df: DataFrame, location: str) -> None:
     if iceberg_available(df.sparkSession) and "/" not in location:
         df.writeTo(location).append()
