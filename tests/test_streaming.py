@@ -113,3 +113,66 @@ def test_stateful_partition_stats_accumulate(spark, tmp_path):
                 F.sum("parse_failures").alias("fails")).collect()}
     assert {k: tuple(map(int, v)) for k, v in second.items()} == \
         {k: tuple(map(int, v)) for k, v in got.items()}
+
+
+def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
+    """Tumbling event-time windows finalize once the watermark passes; a row
+    arriving later than the watermark bound is dropped, an in-bound late
+    row is still counted into its event-time window."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_spark.streaming.windowed import windowed_event_counts
+
+    inp = tmp_path / "events"
+    inp.mkdir()
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+    T = lambda m, s=0: base + dt.timedelta(minutes=m, seconds=s)
+
+    def write(rows, name):
+        pq.write_table(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }), str(inp / name))
+
+    # batch 1: window [10:00,10:10) gets 3 clicks; max ts 10:16 will put
+    # the watermark at 10:11.  Watermark propagation lags one micro-batch
+    # (it is computed at the end of batch N and takes effect in batch N+2's
+    # filter), so batch 2 is a filler that lets 10:11 take effect before
+    # the straggler arrives in batch 3.
+    import time as _time
+
+    # mtime gaps: the file source orders the initial backlog by
+    # modification time, and batch order is what the test asserts on
+    write([(1, T(0), "click"), (2, T(4), "click"), (3, T(9), "click"),
+           (4, T(16), "view")], "b1.parquet")
+    _time.sleep(1.1)
+    write([(10, T(17), "view")], "b2.parquet")
+    _time.sleep(1.1)
+    # batch 3: event at 10:01 is > 5 min late (watermark 10:11) -> dropped;
+    # event at 10:12 is within the open [10:10,10:20) window -> counted
+    write([(5, T(1), "click"), (6, T(12), "view"), (7, T(27), "view")],
+          "b3.parquet")
+
+    out = tmp_path / "out"
+    q = (windowed_event_counts(spark, str(inp), max_files_per_trigger=1)
+         .writeStream.format("parquet").option("path", str(out))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    rows = {(r.window_start.minute, r.event_type): r.n_events
+            for r in spark.read.parquet(str(out)).collect()}
+    # [10:00,10:10) x click finalized with exactly the 3 on-time rows —
+    # the 10:01 straggler from batch 3 was dropped by the watermark
+    assert rows[(0, "click")] == 3
+    # [10:10,10:20) finalized after batch 3's 10:27 advanced the watermark;
+    # it holds 10:16 (b1) + 10:17 (b2) + 10:12 (b3, late but within bound)
+    assert rows[(10, "view")] == 3
+    # [10:20,10:30) never finalized (watermark stops at 10:22) -> absent
+    assert (20, "view") not in rows
