@@ -491,6 +491,182 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# D5. Near-dup connected components (canonicalization after pair generation)
+# ---------------------------------------------------------------------------
+
+# Pair list reused by the components op: the engineered near-dup edges
+# (original <-> truncated copy), derived cheaply without re-running LSH —
+# at scale the input would be the persisted LSH pair table.
+_EDGES_D = """
+edges AS (
+  SELECT doc_id AS src, doc_id + 2000000 AS dst FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS src, doc_id AS dst FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  -- chain ODD multiples of 21 to the previous multiple's copy: components
+  -- become 4-node paths (0 - copy0 - 21 - copy21), diameter 3, so the 3
+  -- unrolled propagation iterations provably reach the fixpoint while
+  -- still having to genuinely iterate (even multiples don't chain on,
+  -- which caps the path length)
+  SELECT doc_id AS src, doc_id - 21 + 2000000 AS dst
+  FROM documents WHERE doc_id % 42 = 21
+  UNION ALL
+  SELECT doc_id - 21 + 2000000 AS src, doc_id AS dst
+  FROM documents WHERE doc_id % 42 = 21)
+"""
+
+
+def _edges_s(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    c7 = d.filter(F.col("doc_id") % 7 == 0)
+    fwd = c7.select(F.col("doc_id").alias("src"),
+                    (F.col("doc_id") + 2000000).alias("dst"))
+    chain = (d.filter(F.col("doc_id") % 42 == 21)
+             .select(F.col("doc_id").alias("src"),
+                     (F.col("doc_id") - 21 + 2000000).alias("dst")))
+    half = fwd.unionByName(chain)
+    return half.unionByName(half.select(F.col("dst").alias("src"),
+                                        F.col("src").alias("dst")))
+
+
+def _components_sql_iter(it: int) -> str:
+    return f"""
+    lab{it + 1} AS (
+      SELECT n.node,
+             least(MIN(n.label), COALESCE(MIN(l.label), MIN(n.label))) AS label
+      FROM lab{it} n
+      LEFT JOIN edges a ON a.src = n.node
+      LEFT JOIN lab{it} l ON l.node = a.dst
+      GROUP BY n.node)"""
+
+
+@register(
+    "dedup_components",
+    sql=f"""
+    WITH {_EDGES_D},
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    lab0 AS (SELECT node, node AS label FROM nodes),
+    {_components_sql_iter(0)},
+    {_components_sql_iter(1)},
+    {_components_sql_iter(2)}
+    SELECT node AS doc_id, label AS component,
+           label = node AS is_canonical
+    FROM lab3
+    """,
+    doc="near-dup canonicalization: connected components over the dedup pair "
+        "list via min-label propagation (3 unrolled iterations of "
+        "join-neighbors + groupBy-min — the relational core of "
+        "large-star/small-star).  Each iteration is one equi-join + one "
+        "combine-friendly aggregate, so a round costs the same as any "
+        "shuffle; iteration count grows with component diameter (log n "
+        "with star-contraction), not corpus size.  Canonical doc = min id "
+        "of its component.  Fixture edges include 3-node chains so "
+        "propagation genuinely iterates; a pytest asserts the fixpoint",
+)
+def dedup_components(spark, sf_dir):
+    edges = _edges_s(spark, sf_dir)
+    edges = _persist(edges)
+    labels = edges.select(F.col("src").alias("node")).distinct() \
+                  .withColumn("label", F.col("node"))
+    for _ in range(3):
+        nb = (labels.join(edges, labels.node == edges.src, "left")
+              .join(labels.select(F.col("node").alias("dst_node"),
+                                  F.col("label").alias("dst_label")),
+                    F.col("dst") == F.col("dst_node"), "left"))
+        labels = (nb.groupBy("node")
+                  .agg(F.least(F.min(F.col("label")),
+                               F.coalesce(F.min("dst_label"),
+                                          F.min(F.col("label")))).alias("label")))
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("component"),
+                         (F.col("label") == F.col("node")).alias("is_canonical"))
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline utilities: stratified sampling + sequence packing
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATES = {"en": 50, "de": 30}   # percent; default 10
+_RATE_S = ("CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 ELSE 10 END")
+
+
+@register(
+    "sample_stratified",
+    sql=f"""
+    SELECT doc_id, lang,
+           (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+             AS hash_bucket
+    FROM documents
+    WHERE ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) * 100
+          < 256 * ({_RATE_S})
+    """,
+    doc="stratified sampling for training-data curation: per-language "
+        "rates (en 50%%, de 30%%, rest 10%%) decided by the doc's OWN md5 "
+        "bucket — a pure per-row predicate, no shuffle, no RNG state, "
+        "reproducible across runs/cluster sizes, and the sample is stable "
+        "under corpus growth (a doc's membership never changes)",
+)
+def sample_stratified(spark, sf_dir):
+    nib = lambda i: (F.expr(
+        f"instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), {i}, 1))") - 1)
+    bucket = nib(1) * 16 + nib(2)
+    rate = F.expr(_RATE_S)
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", "lang", bucket.alias("hash_bucket"),
+                    rate.alias("r"))
+            .filter(F.col("hash_bucket") * 100 < 256 * F.col("r"))
+            .drop("r"))
+
+
+PACK_BUDGET = 256    # tokens per training sequence bin
+
+
+@register(
+    "pack_sequences",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) // {PACK_BUDGET} AS BIGINT) AS bin_id
+      FROM toks WHERE n_tokens > 0)
+    SELECT lang, bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed GROUP BY lang, bin_id
+    """,
+    doc=f"sequence packing for LLM training: contiguous cumulative-sum "
+        f"packing — docs stream in doc_id order per language stratum, bin = "
+        f"floor(tokens_before / {PACK_BUDGET}), so each bin holds "
+        f"consecutive docs totalling ~{PACK_BUDGET} tokens (overflow < one "
+        f"doc).  One window + one groupBy, both on the stratum key; at "
+        f"100 TB the ordering window runs per-stratum-partition, never "
+        f"globally",
+)
+def pack_sequences(spark, sf_dir):
+    toks = (t(spark, sf_dir, "documents")
+            .select("doc_id", "lang",
+                    F.expr(f"size({WORDS_S})").alias("n_tokens"))
+            .filter(F.col("n_tokens") > 0))
+    w = (W.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    packed = (toks.withColumn("cum", F.sum("n_tokens").over(w))
+              .withColumn("bin_id", F.expr(
+                  f"CAST((cum - n_tokens) div {PACK_BUDGET} AS BIGINT)")))
+    return (packed.groupBy("lang", "bin_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))
+
+
+# ---------------------------------------------------------------------------
 # Similarity search over embeddings (quantized-exact cosine)
 # ---------------------------------------------------------------------------
 

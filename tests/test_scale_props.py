@@ -101,6 +101,25 @@ class TestSimhashBlocking:
         assert want <= got, want - got
 
 
+class TestComponents:
+    def test_fixpoint_and_chains(self, spark):
+        """3 min-label iterations must reach the fixpoint on the fixture
+        (chains have diameter 2), and 3-node chains share one component."""
+        rows = REGISTRY["dedup_components"].spark(spark, SF_DIR).collect()
+        label = {r.doc_id: r.component for r in rows}
+        # fixpoint: one more propagation step changes nothing
+        from pdf_extractor_spark.corpus import _edges_s
+        edges = [(r.src, r.dst) for r in _edges_s(spark, SF_DIR).collect()]
+        for s, d in edges:
+            assert label[s] == min(label[s], label[d]), (s, d)
+        # chained components: doc 21 links to doc 0's copy, so docs
+        # {0, 2000000, 21, 2000021} all carry component 0
+        assert label[0] == label[2000000] == label[21] == label[2000021] == 0
+        # canonical flag marks exactly the component minima
+        for r in rows:
+            assert r.is_canonical == (r.doc_id == r.component)
+
+
 class TestMinhashBandWidth:
     def test_band_keys_are_64_bit(self, spark):
         """Widened lanes: band keys must be 16 hex chars (64 bits), not 8."""
