@@ -1245,6 +1245,72 @@ def text_quality_score(spark, sf_dir):
     )
 
 
+# PII patterns shared verbatim by both engines (Java regex and RE2 agree on
+# this subset: char classes, bounded reps, alternation — no lookaround)
+PII_EMAIL = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_URL = r"https?://[A-Za-z0-9./_-]+"
+PII_PHONE = r"[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+# engineered PII working set: the driver vocabulary contains no PII, so
+# deterministic contact strings are appended in-engine for some docs
+PII_TEXT_S = (
+    "concat(text,"
+    " CASE WHEN doc_id % 11 = 0 THEN concat(' mail user', doc_id, '@example.com') ELSE '' END,"
+    " CASE WHEN doc_id % 13 = 0 THEN concat(' see https://example.org/d/', doc_id) ELSE '' END,"
+    " CASE WHEN doc_id % 17 = 0 THEN ' call 555-123-4567' ELSE '' END)")
+PII_TEXT_D = (
+    "text ||"
+    " (CASE WHEN doc_id % 11 = 0 THEN ' mail user' || doc_id || '@example.com' ELSE '' END) ||"
+    " (CASE WHEN doc_id % 13 = 0 THEN ' see https://example.org/d/' || doc_id ELSE '' END) ||"
+    " (CASE WHEN doc_id % 17 = 0 THEN ' call 555-123-4567' ELSE '' END)")
+
+
+@register(
+    "text_pii_redact",
+    sql=f"""
+    WITH p AS (SELECT doc_id, {PII_TEXT_D} AS ptext FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(ptext, '{PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(ptext, '{PII_URL}')) AS INT) AS n_urls,
+           CAST(len(regexp_extract_all(ptext, '{PII_PHONE}')) AS INT) AS n_phones,
+           length(regexp_replace(regexp_replace(regexp_replace(ptext,
+                  '{PII_EMAIL}', '<EMAIL>', 'g'),
+                  '{PII_URL}', '<URL>', 'g'),
+                  '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_chars,
+           md5(regexp_replace(regexp_replace(regexp_replace(ptext,
+                  '{PII_EMAIL}', '<EMAIL>', 'g'),
+                  '{PII_URL}', '<URL>', 'g'),
+                  '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM p
+    """,
+    doc="PII scan + redaction (training-data hygiene pass): email / URL / "
+        "phone pattern counts and the md5 of the fully-redacted text, all "
+        "per-row JVM regex — no shuffle, no UDF.  Patterns restricted to "
+        "the Java-regex ∩ RE2 subset so the DuckDB oracle behaves "
+        "identically; redaction correctness is pinned by hashing the "
+        "redacted text itself.  Working set appends deterministic contact "
+        "strings (driver vocab has no natural PII)",
+)
+def text_pii_redact(spark, sf_dir):
+    p = (t(spark, sf_dir, "documents")
+         .select("doc_id", F.expr(PII_TEXT_S).alias("ptext")))
+    # F.lit keeps backslash-free patterns intact; regexp_replace in Spark
+    # is global by default (DuckDB needs the explicit 'g' flag)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("ptext", F.lit(PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(PII_URL), F.lit("<URL>")),
+        F.lit(PII_PHONE), F.lit("<PHONE>"))
+    return p.select(
+        "doc_id",
+        F.regexp_count("ptext", F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("ptext", F.lit(PII_URL)).alias("n_urls"),
+        F.regexp_count("ptext", F.lit(PII_PHONE)).alias("n_phones"),
+        F.length(red).alias("redacted_chars"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
 BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
