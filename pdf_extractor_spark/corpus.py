@@ -582,6 +582,39 @@ def dedup_components(spark, sf_dir):
                          (F.col("label") == F.col("node")).alias("is_canonical"))
 
 
+@register(
+    "dedup_apply",
+    sql=f"""
+    WITH {_EDGES_D},
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    lab0 AS (SELECT node, node AS label FROM nodes),
+    {_components_sql_iter(0)},
+    {_components_sql_iter(1)},
+    {_components_sql_iter(2)},
+    noncanon AS (SELECT node FROM lab3 WHERE label <> node),
+    corpus AS (
+      SELECT doc_id FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 FROM documents WHERE doc_id % 7 = 0)
+    SELECT c.doc_id FROM corpus c
+    ANTI JOIN noncanon n ON n.node = c.doc_id
+    """,
+    doc="dedup APPLICATION, end to end: the components' canonical labels "
+        "drive a left-anti join that drops every non-canonical member from "
+        "the corpus — the final act of a dedup pipeline (pairs → components "
+        "→ filtered corpus).  The anti-join side is ids only, so at 100 TB "
+        "it broadcasts or shuffles a thin key column, never document bodies",
+)
+def dedup_apply(spark, sf_dir):
+    labels = dedup_components(spark, sf_dir)
+    noncanon = labels.filter(~F.col("is_canonical")).select("doc_id")
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 2000000).alias("doc_id")))
+    return corpus.join(noncanon, "doc_id", "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # Training-pipeline utilities: stratified sampling + sequence packing
 # ---------------------------------------------------------------------------

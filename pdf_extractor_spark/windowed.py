@@ -350,8 +350,12 @@ _B8_KW_SQL = "[" + ", ".join(f"'{k}'" for k in _B8_KW) + "]"
     "b8_selection_output",
     sql=f"""
     WITH w AS (
+      -- '.' after every 'join' gives the driver vocabulary sentence
+      -- boundaries, so the refined-text <=3-sentence slice does real work
+      -- in this gate (raw driver text has no periods)
       SELECT doc_id, source,
-             list_filter(string_split(text, ' '), x -> x <> '') AS words
+             list_filter(string_split(replace(text, ' join ', ' join. '), ' '),
+                         x -> x <> '') AS words
       FROM documents),
     tot AS (SELECT COUNT(*) AS n_docs FROM documents),
     terms AS (SELECT doc_id, unnest(list_distinct(words)) AS term FROM w),
@@ -414,7 +418,9 @@ _B8_KW_SQL = "[" + ", ".join(f"'{k}'" for k in _B8_KW) + "]"
 )
 def b8_selection_output(spark, sf_dir):
     from .plans.selection import selection_plan
-    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = (t(spark, sf_dir, "documents")
+            .select("doc_id", "source",
+                    F.expr("replace(text, ' join ', ' join. ')").alias("text")))
     return selection_plan(docs, list(_B8_KW), max_sections=5, min_score=0.5)
 
 
