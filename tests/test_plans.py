@@ -101,3 +101,16 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_b6_broadcasts_idf_table(spark):
+    """The IDF table is vocabulary-sized (Heaps-sublinear); joining it to
+    per-doc terms must broadcast, never shuffle the fact side."""
+    plan = plan_of(REGISTRY["b6_multifactor_rank"].spark(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_b8_no_sort_merge_joins(spark):
+    plan = plan_of(REGISTRY["b8_selection_output"].spark(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
