@@ -34,10 +34,22 @@ def _run_selection(spark, input_path: str, config_path: str, out_path: str,
         cfg = load_collection_config(json.load(fh))
     kws = persona_keywords(cfg["persona"], cfg["job_to_be_done"])
     proc = cfg.get("processing_config", {})
-    docs = spark.read.parquet(input_path).select("doc_id", "source", "text")
-    names = [d["filename"] for d in cfg.get("documents", [])]
-    if names:
-        docs = docs.filter(F.col("source").isin(names))
+    raw = spark.read.parquet(input_path)
+    if "spans" in raw.columns and "text" not in raw.columns:
+        # extraction-output input (doc_id, spans): compose extract → select.
+        # Text = the non-media span texts in order; the whole table is one
+        # collection (the reference's 1B unit), named by the config.
+        docs = raw.select(
+            "doc_id",
+            F.lit(cfg["collection_name"]).alias("source"),
+            F.array_join(F.expr(
+                "transform(filter(spans, s -> s.kind != 'media'), s -> s.text)"),
+                " ").alias("text"))
+    else:
+        docs = raw.select("doc_id", "source", "text")
+        names = [d["filename"] for d in cfg.get("documents", [])]
+        if names:
+            docs = docs.filter(F.col("source").isin(names))
     t0 = time.perf_counter()
     sel = selection_plan(docs, kws,
                          max_sections=proc.get("max_sections", 25),

@@ -153,6 +153,38 @@ class TestRecordAssembly:
         assert rec["metadata"]["processing_timestamp"] == "2026-01-01T00:00:00"
 
 
+class TestExtractThenSelect:
+    def test_composed_pipelines(self, tmp_path):
+        """The full engine story: extraction output (doc_id, spans) feeds
+        the selection CLI directly — spans are flattened to text and the
+        table becomes one collection."""
+        run = tmp_path / "run"
+        p1 = subprocess.run(
+            [sys.executable, "-m", "pdf_extractor_spark.cli",
+             "--input", str(run / "docs"), "--output", str(run / "out"),
+             "--gen-docs", "120", "--partitions", "6", "--master", "local[4]"],
+            capture_output=True, text=True, timeout=240)
+        assert p1.returncode == 0, p1.stderr[-2000:]
+        cfg = dict(CHALLENGE)
+        cfg["documents"] = []          # whole table = the collection
+        cfg_path = tmp_path / "input.json"
+        cfg_path.write_text(json.dumps(cfg))
+        out_path = tmp_path / "records.json"
+        p2 = subprocess.run(
+            [sys.executable, "-m", "pdf_extractor_spark.cli",
+             "--input", str(run / "out" / "extracted"),
+             "--output", str(out_path), "--config", str(cfg_path),
+             "--master", "local[4]"],
+            capture_output=True, text=True, timeout=240)
+        assert p2.returncode == 0, p2.stderr[-2000:]
+        records = json.loads(out_path.read_text())
+        assert set(records) == {"perf_review"}
+        rec = records["perf_review"]
+        assert 1 <= len(rec["extracted_sections"]) <= 25
+        assert all(s["document"].startswith("doc-")
+                   for s in rec["extracted_sections"])
+
+
 class TestCliBatchMode:
     def test_collections_dir(self, tmp_path):
         for name, srcs in (("colA", ["src0"]), ("colB", ["src1", "src2"])):
