@@ -49,6 +49,26 @@ from .queries import register, t
 WORDS_S = "filter(split(text, ' '), x -> x <> '')"
 WORDS_D = "list_filter(string_split(text, ' '), x -> x <> '')"
 
+
+def let1(binding: str, var: str, body: str) -> str:
+    """SQL let-binding: evaluate ``binding`` ONCE, bind it as lambda var
+    ``var`` inside ``body``.
+
+    Why this exists: Catalyst's CollapseProject inlines an aliased
+    expression into EVERY downstream reference, and PushDownPredicate
+    inlines it into filters below the projection.  For a scalar that is
+    harmless; for an O(n) array expression referenced k times (or
+    referenced per-element inside a higher-order lambda) it multiplies
+    work by k — measured here: ``select(shingles).filter(size >= 1)``
+    over sf0.1 ran 34 s vs 0.8 s without the pushed filter, because the
+    word-split was re-evaluated per array element (O(n²) per row).  At
+    100 TB that multiplier rides on every row, so the heavy per-row
+    signature expressions below are built as one let-bound expression
+    instead of chained selects.  ``transform`` evaluates its input
+    exactly once and lambda-variable references are value lookups.
+    """
+    return f"transform(array({binding}), {var} -> {body})[0]"
+
 # word 3-gram shingles over a `words` column (Spark arrays are 0-based,
 # DuckDB 1-based; both emit shingle i = words[i..i+2] in order)
 SHINGLES_S = (
@@ -72,10 +92,27 @@ N_BANDS = 4        # LSH bands of 2 lanes each (64-bit band keys)
 _PERSISTED: list = []
 
 
-def _persist(df):
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+def _persist(df, fresh: bool = True):
+    """Persist ``df``; ``fresh=True`` (a query's FIRST persist) first drains
+    every cache the previous registry query left behind.  Pass
+    ``fresh=False`` for additional persists inside the same query (e.g.
+    per-iteration state of an iterative algorithm)."""
+    if fresh:
+        while _PERSISTED:
+            _PERSISTED.pop().unpersist()
     _PERSISTED.append(df.persist())
+    return df
+
+
+def _materialize(df):
+    """Force a persisted iteration state NOW and cut the logical lineage.
+
+    Iterative plans (label propagation, k-means) reference iteration i's
+    result 2× in iteration i+1; without an eager cut the plan tree — and
+    the work — doubles per round.  Persist + count is the standard Pregel
+    move; at scale this is exactly where a production job would also
+    checkpoint for fault-tolerance."""
+    df.count()
     return df
 
 
@@ -89,26 +126,53 @@ def _persist(df):
 # Jaccard.  Expressions below operate on a column `hs` = array of
 # per-shingle 64-hex digest concats.
 
-HS_S = "transform(sh, x -> concat(md5(x), md5(concat('#', x))))"
 HS_D = "list_transform(sh, x -> md5(x) || md5('#' || x))"
-
-
-def _minhash_s(j: int) -> str:
-    return f"array_min(transform(hs, h -> substring(h, {8 * j + 1}, 8)))"
 
 
 def _minhash_d(j: int) -> str:
     return f"list_min(list_transform(hs, h -> substr(h, {8 * j + 1}, 8)))"
 
 
-def _band_s(b: int) -> str:
+def _band_d(b: int) -> str:
     # band key = lane-pair concat; equality on it == equality on both lanes,
     # so no extra digest is needed
-    return f"concat({_minhash_s(2 * b)}, {_minhash_s(2 * b + 1)})"
-
-
-def _band_d(b: int) -> str:
     return f"{_minhash_d(2 * b)} || {_minhash_d(2 * b + 1)}"
+
+
+# --- Spark-side single-pass signature expressions ---------------------------
+# Each is ONE let-bound expression from `text`: words, shingles, digests and
+# lanes are each evaluated exactly once per row (see let1).  The DuckDB
+# oracle keeps the readable multi-CTE form — its vectorized engine doesn't
+# inline-recompute, and it is the correctness gate, not the benched path.
+
+SHINGLES_FROM_TEXT_S = let1(
+    WORDS_S, "ws",
+    "CASE WHEN size(ws) >= 3 THEN transform(sequence(0, size(ws) - 3), "
+    "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2])) ELSE array() END")
+
+# all 8 lane-mins in one pass structure over a bound `hs`
+_LANES8 = (f"transform(sequence(0, {N_MINHASH - 1}), j -> "
+           "array_min(transform(hs, h -> substring(h, cast(8 * j + 1 as int), 8))))")
+
+_HS_OVER_SH = "transform(sh, x -> concat(md5(x), md5(concat('#', x))))"
+
+MINHASH_SIG_S = let1(
+    SHINGLES_FROM_TEXT_S, "sh",
+    let1(_HS_OVER_SH, "hs",
+         let1(_LANES8, "ln",
+              "named_struct("
+              "'n_shingles', size(sh), 'mh0', ln[0], 'mh1', ln[1], "
+              "'band0', concat(ln[0], ln[1]), 'band1', concat(ln[2], ln[3]), "
+              "'band2', concat(ln[4], ln[5]), 'band3', concat(ln[6], ln[7]))")))
+
+MINHASH_LSH_SIG_S = let1(
+    SHINGLES_FROM_TEXT_S, "sh",
+    let1(_HS_OVER_SH, "hs",
+         let1(_LANES8, "ln",
+              "named_struct("
+              "'shset', array_distinct(sh), "
+              "'bands', array(concat(ln[0], ln[1]), concat(ln[2], ln[3]), "
+              "concat(ln[4], ln[5]), concat(ln[6], ln[7])))")))
 
 
 # near-dup document working set: every doc_id % 7 == 0 gets a copy
@@ -189,18 +253,13 @@ def dedup_exact(spark, sf_dir):
         "md5-slice lanes) + 4-band LSH keys; per-row narrow compute, no shuffle",
 )
 def dedup_minhash_signatures(spark, sf_dir):
-    d = (t(spark, sf_dir, "documents")
-         .select("doc_id", F.expr(WORDS_S).alias("words"))
-         .select("doc_id", F.expr(SHINGLES_S).alias("sh"))
-         .filter(F.size("sh") >= 1)
-         .select("doc_id", F.size("sh").alias("n_shingles"),
-                 F.expr(HS_S).alias("hs")))
-    return d.select(
-        "doc_id", "n_shingles",
-        F.expr(_minhash_s(0)).alias("mh0"), F.expr(_minhash_s(1)).alias("mh1"),
-        F.expr(_band_s(0)).alias("band0"), F.expr(_band_s(1)).alias("band1"),
-        F.expr(_band_s(2)).alias("band2"), F.expr(_band_s(3)).alias("band3"),
-    )
+    # cheap pre-filter (≥3 words ⟺ ≥1 shingle) BEFORE the signature
+    # projection — a pushed filter on the signature column would inline
+    # and re-evaluate the whole digest chain per row (see let1)
+    return (t(spark, sf_dir, "documents")
+            .filter(F.expr(f"size({WORDS_S}) >= 3"))
+            .select("doc_id", F.expr(MINHASH_SIG_S).alias("sig"))
+            .select("doc_id", "sig.*"))
 
 
 @register(
@@ -237,15 +296,11 @@ def dedup_minhash_signatures(spark, sf_dir):
 def dedup_minhash_lsh(spark, sf_dir):
     corpus = _neardup_corpus_s(spark, sf_dir)
     # hash every shingle once (hs), then derive all 8 lanes + 4 bands from
-    # the digests — one md5 pass total per document
+    # the digests — one md5 pass total per document (let-bound, see let1)
     sigs = (
-        corpus.select("doc_id", F.expr(WORDS_S).alias("words"))
-        .select("doc_id", F.expr(SHINGLES_S).alias("sh"))
-        .filter(F.size("sh") >= 1)
-        .select("doc_id", F.array_distinct("sh").alias("shset"),
-                F.expr(HS_S).alias("hs"))
-        .select("doc_id", "shset",
-                F.array(*[F.expr(_band_s(b)) for b in range(N_BANDS)]).alias("bands"))
+        corpus.filter(F.expr(f"size({WORDS_S}) >= 3"))
+        .select("doc_id", F.expr(MINHASH_LSH_SIG_S).alias("sig"))
+        .select("doc_id", "sig.*")
     )
     # the signature table is referenced 4× below (both self-join branches +
     # both verify re-joins); at scale you'd write it out once — here persist
@@ -282,22 +337,79 @@ def _simhash_expr(dialect: str, nbits: int = 16) -> str:
     strings (md5 has 32 hex digits, so nbits <= 32).
 
     Bit j votes +1/-1 on the parity of hex digit j of each word hash;
-    bit set iff the vote sum is strictly positive.
+    bit set iff the vote sum is strictly positive.  (DuckDB dialect: one
+    vectorized list pass per bit is fine in the oracle.)
     """
     terms = []
     for j in range(nbits):
         digit = f"substr(h, {j + 1}, 1)"
-        if dialect == "spark":
-            nib = f"(instr('0123456789abcdef', {digit}) - 1)"
-            vote = (f"aggregate(hs, 0, (acc, h) -> acc + "
-                    f"(CASE WHEN {nib} % 2 = 1 THEN 1 ELSE -1 END))")
-        else:
-            nib = f"(strpos('0123456789abcdef', {digit}) - 1)"
-            vote = (f"CAST(list_sum(list_transform(hs, h -> "
-                    f"CASE WHEN {nib} % 2 = 1 THEN 1 ELSE -1 END)) AS INT)")
+        nib = f"(strpos('0123456789abcdef', {digit}) - 1)"
+        vote = (f"CAST(list_sum(list_transform(hs, h -> "
+                f"CASE WHEN {nib} % 2 = 1 THEN 1 ELSE -1 END)) AS INT)")
         terms.append(f"(CASE WHEN {vote} > 0 THEN CAST({1 << j} AS BIGINT) "
                      f"ELSE 0 END)")
     return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+def _simhash_nib_expr_d(nbits: int = 60) -> str:
+    """DuckDB dialect of the WIDE simhash: bit j votes on bit (j mod 4) of
+    hex digit (j div 4), so one md5 yields up to 128 usable bits.  60 bits
+    keeps the signature strictly positive in a signed BIGINT so banding
+    div/mod arithmetic agrees between engines (no floor-vs-truncate
+    divergence on negatives)."""
+    terms = []
+    for j in range(nbits):
+        digit = f"substr(h, {j // 4 + 1}, 1)"
+        nib = f"(strpos('0123456789abcdef', {digit}) - 1)"
+        vote = (f"CAST(list_sum(list_transform(hs, h -> "
+                f"CASE WHEN ({nib} // {1 << (j % 4)}) % 2 = 1 THEN 1 ELSE -1 END)) "
+                "AS INT)")
+        terms.append(f"(CASE WHEN {vote} > 0 THEN CAST({1 << j} AS BIGINT) "
+                     f"ELSE 0 END)")
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+def _simhash_nib_from_text_s(nbits: int = 60) -> str:
+    """Spark dialect of the wide simhash, single aggregate pass (see
+    _simhash_from_text_s for why one pass matters).  Per word hash the
+    ceil(nbits/4) hex nibbles are decoded ONCE (let-bound), then the
+    nbits per-bit votes are cheap shifts — instr/substr per BIT would
+    quadruple the string work in the inner loop."""
+    ndigits = (nbits + 3) // 4
+    nibs = (f"transform(sequence(1, {ndigits}), d -> "
+            "instr('0123456789abcdef', substr(h, d, 1)) - 1)")
+    bitvotes = (f"transform(sequence(1, {nbits}), j -> "
+                "CASE WHEN shiftright(nb[(j - 1) div 4], (j - 1) % 4) % 2 = 1 "
+                "THEN 1 ELSE -1 END)")
+    votes = (f"aggregate(hs, transform(sequence(1, {nbits}), j -> 0), "
+             f"(acc, h) -> zip_with(acc, {let1(nibs, 'nb', bitvotes)}, "
+             "(x, y) -> x + y))")
+    bits = (f"cast(aggregate(sequence(0, {nbits - 1}), cast(0 as bigint), "
+            "(a, j) -> a + (CASE WHEN vt[j] > 0 "
+            "THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)) "
+            "as bigint)")
+    return let1(f"transform({WORDS_S}, w -> md5(w))", "hs",
+                let1(votes, "vt", bits))
+
+
+def _simhash_from_text_s(nbits: int = 16) -> str:
+    """Spark-side simhash straight from `text`, ONE pass over the word
+    digests: aggregate folds every md5 into an nbits-wide vote vector
+    (zip_with adds the ±1 parity votes of all bits at once), then the
+    vote vector folds into the signature.  The naive per-bit form is
+    nbits separate aggregates over `hs`, and Catalyst additionally
+    inlines the md5 transform into each (see let1) — measured 6×
+    slower at sf0.1 and O(nbits·n) per row at scale instead of O(n)."""
+    votes = (f"aggregate(hs, transform(sequence(1, {nbits}), j -> 0), "
+             f"(acc, h) -> zip_with(acc, transform(sequence(1, {nbits}), "
+             "j -> CASE WHEN (instr('0123456789abcdef', substr(h, j, 1)) - 1) % 2 = 1 "
+             "THEN 1 ELSE -1 END), (x, y) -> x + y))")
+    bits = (f"cast(aggregate(sequence(0, {nbits - 1}), cast(0 as bigint), "
+            "(a, j) -> a + (CASE WHEN vt[j] > 0 "
+            "THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)) "
+            "as bigint)")
+    return let1(f"transform({WORDS_S}, w -> md5(w))", "hs",
+                let1(votes, "vt", bits))
 
 
 @register(
@@ -321,10 +433,10 @@ def _simhash_expr(dialect: str, nbits: int = 16) -> str:
 def dedup_simhash(spark, sf_dir):
     corpus = _neardup_corpus_s(spark, sf_dir)
     sigs = (
-        corpus.select("doc_id", F.expr(f"transform({WORDS_S}, w -> md5(w))").alias("hs"))
-        .filter(F.size("hs") >= 1)
-        .select("doc_id", F.expr(_simhash_expr("spark")).alias("simhash"))
+        corpus.filter(F.expr(f"size({WORDS_S}) >= 1"))
+        .select("doc_id", F.expr(_simhash_from_text_s()).alias("simhash"))
     )
+    sigs = _persist(sigs)   # referenced 2×: both legs of the pair join
     o, c = sigs.alias("o"), sigs.alias("c")
     ham = F.expr("bit_count(o.simhash ^ c.simhash)").cast("int")
     return (
@@ -340,15 +452,15 @@ def dedup_simhash(spark, sf_dir):
     sql=f"""
     WITH {NEARDUP_CORPUS_D},
     sigs AS (
-      SELECT doc_id, {_simhash_expr('duck', 32)} AS simhash
+      SELECT doc_id, {_simhash_nib_expr_d(60)} AS simhash
       FROM (SELECT doc_id, list_transform({WORDS_D}, w -> md5(w)) AS hs
             FROM corpus)
       WHERE len(hs) >= 1),
     ex AS (
       SELECT doc_id, simhash, i AS band_idx,
-             (simhash // CASE i WHEN 1 THEN 1 WHEN 2 THEN 256
-                                WHEN 3 THEN 65536 ELSE 16777216 END) % 256
-               AS band_bits
+             (simhash // CASE i WHEN 1 THEN 1 WHEN 2 THEN 32768
+                                WHEN 3 THEN 1073741824 ELSE 35184372088832 END)
+               % 32768 AS band_bits
       FROM sigs, unnest(range(1, 5)) AS u(i)),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -363,28 +475,31 @@ def dedup_simhash(spark, sf_dir):
     WHERE hamming <= 3
     """,
     doc="SimHash near-dup at scale (the production pairing dedup_simhash's "
-        "engineered-id join avoids): pigeonhole banding — a 32-bit signature "
-        "split into 4 disjoint 8-bit bands; any pair within hamming distance "
-        "3 must agree exactly on >= 1 band, so candidates come from an "
-        "equi-join on (band_idx, band_bits) — never all-pairs — and exact "
-        "bit_count verifies <= 3 inside blocks.  The signature is twice "
-        "dedup_simhash's 16 bits: band space must outgrow the corpus or "
-        "random collisions degenerate the join (at 10^9 docs go 64-bit, "
-        "k+1 bands for hamming k)",
+        "engineered-id join avoids): pigeonhole banding — a 60-bit "
+        "signature (bit j votes on bit j%%4 of md5 hex digit j//4; 60 not "
+        "64 keeps the signed-BIGINT band arithmetic positive, so both "
+        "engines' div/mod agree) split into 4 disjoint 15-bit bands; any "
+        "pair within hamming distance 3 must agree exactly on >= 1 band, "
+        "so candidates come from an equi-join on (band_idx, band_bits) — "
+        "never all-pairs — and exact bit_count verifies <= 3 inside "
+        "blocks.  Band space (2^15 per band) must outgrow the corpus or "
+        "random collisions degenerate the join — 8-bit bands measured "
+        "~900k false candidates on the 10.7k-doc fixture vs near-zero at "
+        "15 bits; at 10^9 docs widen to k+1 bands of >= 30 bits from two "
+        "digests",
 )
 def dedup_simhash_blocked(spark, sf_dir):
     corpus = _neardup_corpus_s(spark, sf_dir)
     sigs = (
-        corpus.select("doc_id", F.expr(f"transform({WORDS_S}, w -> md5(w))").alias("hs"))
-        .filter(F.size("hs") >= 1)
-        .select("doc_id", F.expr(_simhash_expr("spark", 32)).alias("simhash"))
+        corpus.filter(F.expr(f"size({WORDS_S}) >= 1"))
+        .select("doc_id", F.expr(_simhash_nib_from_text_s(60)).alias("simhash"))
     )
     sigs = _persist(sigs)   # referenced 3x: band explode + both verify legs
     ex = (sigs.select("doc_id", "simhash",
                       F.explode(F.expr("sequence(1, 4)")).alias("band_idx"))
           .withColumn("band_bits", F.expr(
-              "(simhash div CASE band_idx WHEN 1 THEN 1 WHEN 2 THEN 256 "
-              "WHEN 3 THEN 65536 ELSE 16777216 END) % 256")))
+              "(simhash div CASE band_idx WHEN 1 THEN 1 WHEN 2 THEN 32768 "
+              "WHEN 3 THEN 1073741824 ELSE 35184372088832 END) % 32768")))
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -406,18 +521,31 @@ def dedup_simhash_blocked(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _prefix_filtered_candidates(s, threshold_pct: int):
-    """Prefix-filtered candidate pairs for a set-similarity join.
+    """Prefix + positional-filtered candidate pairs for a set-similarity
+    join (PPJoin-style, Xiao et al. 2008 / Chaudhuri et al. 2006).
 
     ``s`` = (doc_id, shset).  Orders each doc's shingles by global document
     frequency (rarest first, shingle text as tie-break — a total order both
     engines agree on), and indexes only the prefix of length
-    n - ceil(t·n) + 1.  Chaudhuri et al.'s prefix-filter guarantee: two
-    sets with Jaccard >= t must share at least one element within both
-    prefixes under any global total order, so candidate recall is exact.
-    ceil(t·n) is computed in integers ((t_pct·n + 99) div 100) — no float
-    thresholds.  The df pass is one extra groupBy on shingle (map-side
-    combined) — the price of not letting one 10^6-df shingle emit 10^12
-    candidate pairs at corpus scale.
+    n - ceil(t·n) + 1.  Prefix-filter guarantee: two sets with Jaccard
+    >= t share at least one element within both prefixes under any global
+    total order — in particular their FIRST common element — so candidate
+    recall is exact.  ceil(t·n) is computed in integers
+    ((t_pct·n + 99) div 100) — no float thresholds.
+
+    Positional filter: Jaccard >= t requires |A∩B| >= α =
+    ceil(t·(na+nb)/(1+t)), and for the first common element at sorted
+    positions (pa, pb), |A∩B| <= 1 + min(na-pa, nb-pb).  A pair is kept
+    iff SOME prefix match satisfies that bound (the first common element
+    does for every qualifying pair, so recall stays exact); the groupBy
+    that enforces it replaces the candidate `distinct` — same shuffle,
+    strictly fewer rows entering the O(set-size) verify join.  Size
+    filter for free in the same aggregate: Jaccard >= t needs
+    t·max(na,nb) <= min(na,nb).
+
+    The df pass is one extra groupBy on shingle (map-side combined) — the
+    price of not letting one 10^6-df shingle emit 10^12 candidate pairs
+    at corpus scale.
     """
     inv = s.select("doc_id", F.size("shset").alias("n"),
                    F.explode("shset").alias("shingle"))
@@ -427,13 +555,23 @@ def _prefix_filtered_candidates(s, threshold_pct: int):
             .withColumn("rn", F.row_number().over(wdoc))
             .filter(F.col("rn") <= F.expr(
                 f"n - (({threshold_pct} * n + 99) div 100) + 1"))
-            .select("doc_id", "shingle"))
+            .select("doc_id", "shingle", "rn", "n"))
     a, b = pref.alias("a"), pref.alias("b")
+    t_pct = threshold_pct
     return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+                (F.least(F.col("a.n") - F.col("a.rn"),
+                         F.col("b.n") - F.col("b.rn")) + 1).alias("ub"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("ub").alias("ubound"),
+             F.first("na").alias("na"), F.first("nb").alias("nb"))
+        .filter(F.col("ubound") * (100 + t_pct)
+                >= F.expr(f"{t_pct} * (na + nb)"))
+        .filter(F.expr(f"{t_pct} * greatest(na, nb) <= 100 * least(na, nb)"))
+        .select("doc_a", "doc_b")
     )
 
 @register(
@@ -456,27 +594,30 @@ def _prefix_filtered_candidates(s, threshold_pct: int):
              len(sa.shset) + len(sb.shset)
                - len(list_intersect(sa.shset, sb.shset)) AS n_union
       FROM cand c JOIN s sa ON sa.doc_id = c.doc_a JOIN s sb ON sb.doc_id = c.doc_b)
-    WHERE n_inter * 10 >= 3 * n_union
+    WHERE n_inter * 2 >= n_union
     """,
     doc="n-gram Jaccard near-dup via PREFIX-FILTERED inverted shingle index: "
         "global shingle document-frequency orders each doc's shingles "
         "rarest-first, and only the first n - ceil(t*n) + 1 are indexed "
-        "(t = 0.3) — the standard prefix-filter guarantee means any pair "
+        "(t = 0.5, same threshold as dedup_minhash_lsh so the exact and "
+        "LSH paths are comparable) — the prefix-filter guarantee means any pair "
         "with Jaccard >= t still shares an indexed shingle, so the final "
         "result equals the unpruned plan (which is what the oracle SQL "
         "computes), while stop-word-like shingles with huge df drop out of "
         "nearly every doc's prefix instead of generating df² candidate "
-        "pairs at corpus scale.  Exact Jaccard >= 0.3 verify inside blocks",
+        "pairs at corpus scale, and the PPJoin positional bound prunes "
+        "candidates before any shingle array is shuffled to the verify "
+        "join.  Exact Jaccard >= 0.5 verify inside blocks",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     corpus = _neardup_corpus_s(spark, sf_dir)
     s = (
-        corpus.select("doc_id", F.expr(WORDS_S).alias("words"))
-        .filter(F.size("words") >= 3)
-        .select("doc_id", F.array_distinct(F.expr(SHINGLES_S)).alias("shset"))
+        corpus.filter(F.expr(f"size({WORDS_S}) >= 3"))
+        .select("doc_id",
+                F.array_distinct(F.expr(SHINGLES_FROM_TEXT_S)).alias("shset"))
     )
     s = _persist(s)  # referenced 3× (inverted index + both verify re-joins)
-    cand = _prefix_filtered_candidates(s, threshold_pct=30)
+    cand = _prefix_filtered_candidates(s, threshold_pct=50)
     sa = s.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
     sb = s.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
     n_inter = F.size(F.array_intersect("sa", "sb"))
@@ -484,7 +625,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return (
         cand.join(sa, "doc_a").join(sb, "doc_b")
         .select("doc_a", "doc_b", n_inter.alias("n_inter"), n_union.alias("n_union"))
-        .filter(F.col("n_inter") * 10 >= 3 * F.col("n_union"))
+        .filter(F.col("n_inter") * 2 >= F.col("n_union"))
         .withColumn("jaccard",
                     F.col("n_inter").cast("double") / F.col("n_union").cast("double"))
     )
@@ -569,6 +710,9 @@ def dedup_components(spark, sf_dir):
     labels = edges.select(F.col("src").alias("node")).distinct() \
                   .withColumn("label", F.col("node"))
     for _ in range(3):
+        # labels is referenced twice below (self-join on neighbours) —
+        # persist + materialize each round or the plan doubles per round
+        labels = _materialize(_persist(labels, fresh=False))
         nb = (labels.join(edges, labels.node == edges.src, "left")
               .join(labels.select(F.col("node").alias("dst_node"),
                                   F.col("label").alias("dst_label")),
@@ -1063,6 +1207,10 @@ def ann_ivf_kmeans(spark, sf_dir):
                        .withColumn("ccos", F.expr(f"{_CDOT_S} / {_CNRM_S}"))
                        .withColumn("rn", F.row_number().over(wa))
                        .filter("rn = 1").select("vec_id", "cell"))
+        # assignments feed both the centroid update and (last round) two
+        # downstream consumers — materialize per round or the lloyd
+        # iteration lineage re-runs the crossJoin per reference
+        assign_last = _materialize(_persist(assign_last, fresh=False))
         dims = (assign_last.join(data, "vec_id")
                 .select("cell", F.posexplode("qv").alias("dim0", "val"))
                 .groupBy("cell", "dim0").agg(F.avg("val").alias("cval")))
@@ -1070,6 +1218,7 @@ def ann_ivf_kmeans(spark, sf_dir):
                  .agg(F.transform(
                      F.array_sort(F.collect_list(F.struct("dim0", "cval"))),
                      lambda s: s["cval"]).alias("cv")))
+        cents = _materialize(_persist(cents, fresh=False))
     q = (e.filter(F.col("vec_id") < 3)
          .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"))
          .withColumn("na", F.expr(

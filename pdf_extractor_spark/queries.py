@@ -45,8 +45,25 @@ def register(name: str, sql: str | None, doc: str):
     return deco
 
 
+# Tables whose downstream registry queries are per-row CPU-bound (md5 per
+# shingle, vote folds, regex batteries, vector math) rather than scan-bound.
+_COMPUTE_HEAVY = {"documents", "embeddings"}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _COMPUTE_HEAVY:
+        # Parquet scans split by row-group, so a small or well-compressed
+        # corpus slice can arrive in far fewer partitions than cores while
+        # its per-row compute is the real bottleneck (sf0.1 documents =
+        # one 0.6 MB row-group = ONE task for every signature pass).
+        # Spread it to the session parallelism; on a real cluster where
+        # the scan already yields >= that many splits this branch never
+        # fires, so no extra shuffle is introduced at scale.
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
 
 
 DEC = "decimal(18,2)"

@@ -46,11 +46,13 @@ class TestPrefixFilter:
         # shingles rank last in almost every doc's prefix
         assert pruned_max < full_max
 
-    def test_candidates_lossless_for_threshold(self, shsets, spark):
-        """Prefix-filtered candidates ⊇ all pairs with Jaccard >= 0.3
-        (the Chaudhuri prefix-filter guarantee, checked exhaustively)."""
+    @pytest.mark.parametrize("t_pct", [30, 50])
+    def test_candidates_lossless_for_threshold(self, shsets, spark, t_pct):
+        """Prefix + positional + size filtered candidates ⊇ all pairs with
+        Jaccard >= t (prefix-filter guarantee AND the PPJoin positional
+        bound must both be lossless, checked exhaustively)."""
         cand = {(r.doc_a, r.doc_b)
-                for r in _prefix_filtered_candidates(shsets, 30).collect()}
+                for r in _prefix_filtered_candidates(shsets, t_pct).collect()}
         rows = shsets.collect()
         missed = []
         for i in range(len(rows)):
@@ -59,7 +61,7 @@ class TestPrefixFilter:
                 sa, sb = set(a.shset), set(b.shset)
                 inter = len(sa & sb)
                 union = len(sa) + len(sb) - inter
-                if union and inter * 10 >= 3 * union:
+                if union and inter * 100 >= t_pct * union:
                     lo, hi = sorted((a.doc_id, b.doc_id))
                     if (lo, hi) not in cand:
                         missed.append((lo, hi))
@@ -77,16 +79,15 @@ class TestEmbeddingLshRecall:
 
 class TestSimhashBlocking:
     def test_pigeonhole_recall(self, spark):
-        """Every engineered original/truncated pair within 32-bit hamming
-        distance 3 must be found by the banded variant (4 disjoint 8-bit
+        """Every engineered original/truncated pair within 60-bit hamming
+        distance 3 must be found by the banded variant (4 disjoint 15-bit
         bands + hamming 3 => at least one band matches exactly)."""
-        from pdf_extractor_spark.corpus import _simhash_expr
+        from pdf_extractor_spark.corpus import _simhash_nib_from_text_s
         sigs = (
             _neardup_corpus_s(spark, SF_DIR)
+            .filter(F.expr(f"size({WORDS_S}) >= 1"))
             .select("doc_id",
-                    F.expr(f"transform({WORDS_S}, w -> md5(w))").alias("hs"))
-            .filter(F.size("hs") >= 1)
-            .select("doc_id", F.expr(_simhash_expr("spark", 32)).alias("simhash"))
+                    F.expr(_simhash_nib_from_text_s(60)).alias("simhash"))
         )
         o, c = sigs.alias("o"), sigs.alias("c")
         eng = (o.join(c, F.col("c.doc_id") == F.col("o.doc_id") + 2000000)
