@@ -1673,3 +1673,312 @@ def extract_pipeline(spark, sf_dir):
                     F.col("s.text").alias("text"),
                     F.col("s.media_ref").alias("media_ref"),
                     F.col("s.offset").alias("offset")))
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality signals (Gopher-style, Rae et al. 2021 §A1.1)
+# ---------------------------------------------------------------------------
+
+@register(
+    "quality_repetition",
+    sql="""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents),
+    uni AS (
+      SELECT doc_id, len(words) AS n_words, unnest(words) AS word
+      FROM w WHERE len(words) > 0),
+    wc AS (
+      SELECT doc_id, MAX(n_words) AS n_words,
+             CAST(MAX(cnt) AS BIGINT) AS top_word_cnt,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct
+      FROM (SELECT doc_id, n_words, word, COUNT(*) AS cnt
+            FROM uni GROUP BY doc_id, n_words, word)
+      GROUP BY doc_id),
+    big AS (
+      SELECT doc_id, u.i AS pos, words[u.i] || ' ' || words[u.i + 1] AS bg
+      FROM w, unnest(range(1, len(words))) AS u(i)
+      WHERE len(words) >= 2),
+    bc AS (
+      SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top_bigram_cnt,
+             CAST(SUM(cnt) AS BIGINT) AS n_bigrams
+      FROM (SELECT doc_id, bg, COUNT(*) AS cnt FROM big GROUP BY doc_id, bg)
+      GROUP BY doc_id)
+    SELECT wc.doc_id, wc.n_words, wc.n_distinct, wc.top_word_cnt,
+           COALESCE(bc.top_bigram_cnt, 0) AS top_bigram_cnt,
+           COALESCE(bc.n_bigrams, 0) AS n_bigrams,
+           CAST(wc.n_words - wc.n_distinct AS DOUBLE)
+             / CAST(wc.n_words AS DOUBLE) AS frac_dup_words,
+           CAST(wc.top_word_cnt AS DOUBLE)
+             / CAST(wc.n_words AS DOUBLE) AS frac_top_word,
+           (wc.top_word_cnt * 10 > wc.n_words
+            OR COALESCE(bc.top_bigram_cnt * 100 > bc.n_bigrams * 18, FALSE)
+            OR (wc.n_words - wc.n_distinct) * 10 > wc.n_words * 6)
+             AS is_repetitive
+    FROM wc LEFT JOIN bc ON bc.doc_id = wc.doc_id
+    """,
+    doc="Gopher-style repetition filters (Rae et al. 2021): duplicate-word "
+        "fraction, top-word fraction, top-bigram fraction, gated with "
+        "integer cross-multiplication (top word > 10%%, top 2-gram > 18%%, "
+        "dup words > 60%% => repetitive).  Relational form — explode + "
+        "groupBy(doc, token) with map-side combine — NOT a per-row "
+        "O(n·distinct) array scan, so a 10^5-token doc costs O(n log n) "
+        "shuffle like everything else; keys are (doc_id, token), so no "
+        "hot-key skew at corpus scale",
+)
+def quality_repetition(spark, sf_dir):
+    w = (t(spark, sf_dir, "documents")
+         .select("doc_id", F.expr(WORDS_S).alias("words")))
+    uni = (w.filter(F.size("words") > 0)
+           .select("doc_id", F.size("words").alias("n_words"),
+                   F.explode("words").alias("word")))
+    wc = (uni.groupBy("doc_id", "n_words", "word").count()
+          .groupBy("doc_id")
+          .agg(F.max("n_words").alias("n_words"),
+               F.max("count").alias("top_word_cnt"),
+               F.count("*").alias("n_distinct")))
+    big = (w.filter(F.size("words") >= 2)
+           .select("doc_id", F.explode(F.expr(
+               "transform(sequence(1, size(words) - 1), "
+               "i -> concat(words[i - 1], ' ', words[i]))")).alias("bg")))
+    bc = (big.groupBy("doc_id", "bg").count()
+          .groupBy("doc_id")
+          .agg(F.max("count").alias("top_bigram_cnt"),
+               F.sum("count").alias("n_bigrams")))
+    rep = (F.col("top_word_cnt") * 10 > F.col("n_words")) \
+        | F.coalesce(F.col("top_bigram_cnt") * 100 > F.col("n_bigrams") * 18,
+                     F.lit(False)) \
+        | ((F.col("n_words") - F.col("n_distinct")) * 10 > F.col("n_words") * 6)
+    return (wc.join(bc, "doc_id", "left")
+            .select("doc_id", "n_words", "n_distinct", "top_word_cnt",
+                    F.coalesce("top_bigram_cnt", F.lit(0)).alias("top_bigram_cnt"),
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    ((F.col("n_words") - F.col("n_distinct")).cast("double")
+                     / F.col("n_words").cast("double")).alias("frac_dup_words"),
+                    (F.col("top_word_cnt").cast("double")
+                     / F.col("n_words").cast("double")).alias("frac_top_word"),
+                    rep.alias("is_repetitive")))
+
+
+# ---------------------------------------------------------------------------
+# Sub-document (chunk-level) exact dedup — the paragraph-dedup analog
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_chunks",
+    sql="""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+    w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM all_docs),
+    chunks AS (
+      SELECT doc_id, u.c AS chunk_idx,
+             md5(array_to_string(words[(u.c * 50 + 1):(u.c * 50 + 50)], ' '))
+               AS chunk_hash
+      FROM w, unnest(range(0, greatest(1, (len(words) + 49) // 50))) AS u(c)
+      WHERE len(words) > 0)
+    SELECT chunk_hash, CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS canonical_doc_id
+    FROM chunks GROUP BY chunk_hash HAVING COUNT(*) > 1
+    """,
+    doc="sub-document exact dedup (the paragraph-dedup of CCNet/C4, tiled "
+        "here as 50-word chunks because the corpus has no newlines): tile, "
+        "md5 each tile, one groupBy(chunk_hash) with map-side combine -> "
+        "copy counts + canonical owner.  The hash table never holds text — "
+        "16-byte digests only — so at 100 TB the shuffle is ~0.3%% of "
+        "corpus bytes; apply-side is an anti-join on (doc_id, chunk_idx) "
+        "exactly like dedup_apply.  Working set = docs ∪ exact copies of "
+        "doc_id%%5==0 so cross-document duplicate chunks exist",
+)
+def dedup_chunks(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    alldocs = d.unionByName(
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    chunks = (alldocs
+              .select("doc_id", F.expr(WORDS_S).alias("words"))
+              .filter(F.size("words") > 0)
+              .select("doc_id", F.explode(F.expr(
+                  "sequence(0, greatest(1, (size(words) + 49) div 50) - 1)"))
+                  .alias("chunk_idx"), "words")
+              .select("doc_id", F.expr(
+                  "md5(array_join(slice(words, chunk_idx * 50 + 1, 50), ' '))")
+                  .alias("chunk_hash")))
+    return (chunks.groupBy("chunk_hash")
+            .agg(F.count("*").alias("n_copies"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.min("doc_id").alias("canonical_doc_id"))
+            .filter(F.col("n_copies") > 1))
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs a STORED signature index (continuous ingest)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_incremental",
+    sql=f"""
+    WITH corpus AS (
+      SELECT doc_id, text, 'index' AS side FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, text, 'batch' AS side FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id, {TRUNC_D} AS text, 'batch' AS side
+      FROM (SELECT doc_id, {WORDS_D} AS words FROM documents
+            WHERE doc_id % 14 = 0)),
+    sigs AS (
+      SELECT doc_id, side, shset,
+             [{_band_d(0)}, {_band_d(1)}, {_band_d(2)}, {_band_d(3)}] AS bands
+      FROM (SELECT doc_id, side, list_distinct(sh) AS shset, {HS_D} AS hs
+            FROM (SELECT doc_id, side, {SHINGLES_D} AS sh
+                  FROM (SELECT doc_id, side, {WORDS_D} AS words FROM corpus))
+            WHERE len(sh) >= 1)),
+    ex AS (
+      SELECT doc_id, side, shset, i AS band_idx, bands[i] AS band_hash
+      FROM sigs, unnest(range(1, 5)) AS u(i)),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS new_doc, ix.doc_id AS index_doc,
+             b.shset AS sb, ix.shset AS si
+      FROM ex b JOIN ex ix
+        ON b.band_idx = ix.band_idx AND b.band_hash = ix.band_hash
+       AND b.side = 'batch' AND ix.side = 'index')
+    SELECT new_doc, index_doc, n_inter, n_union
+    FROM (SELECT new_doc, index_doc,
+                 len(list_intersect(sb, si)) AS n_inter,
+                 len(sb) + len(si) - len(list_intersect(sb, si)) AS n_union
+          FROM cand)
+    WHERE n_inter * 2 >= n_union
+    """,
+    doc="incremental near-dup for continuous ingest: an incoming batch's "
+        "MinHash band keys equi-join a PERSISTED signature index (docs "
+        "doc_id%%2==0 stand in for the stored side; the batch is the odd "
+        "docs plus 80%%-truncated copies of doc_id%%14==0, so true "
+        "batch-vs-index near-dups exist).  This is the 100 TB steady "
+        "state: corpus signatures are computed once at ingest and stored "
+        "(here: persisted), each new batch only hashes ITS OWN docs and "
+        "probes the band index — shuffle cost scales with the batch, not "
+        "the corpus.  Exact-Jaccard >= 0.5 verify inside blocks as in "
+        "dedup_minhash_lsh",
+)
+def dedup_incremental(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    index_docs = d.filter(F.col("doc_id") % 2 == 0)
+    trunc = (d.filter(F.col("doc_id") % 14 == 0)
+             .select("doc_id", F.expr(WORDS_S).alias("words"))
+             .select((F.col("doc_id") + 3000000).alias("doc_id"),
+                     F.expr(TRUNC_S).alias("text")))
+    batch_docs = d.filter(F.col("doc_id") % 2 == 1).unionByName(trunc)
+
+    def sigs(docs):
+        return (docs.filter(F.expr(f"size({WORDS_S}) >= 3"))
+                .select("doc_id", F.expr(MINHASH_LSH_SIG_S).alias("sig"))
+                .select("doc_id", "sig.*"))
+
+    # the index side is the stored table of a continuous-ingest pipeline —
+    # persisted once, reused across batches (and across the two references
+    # below: band probe + verify re-join)
+    index_sigs = _persist(sigs(index_docs))
+    batch_sigs = _persist(sigs(batch_docs), fresh=False)
+    ix = index_sigs.select("doc_id",
+                           F.posexplode("bands").alias("band_idx", "band_hash"))
+    bx = batch_sigs.select("doc_id",
+                           F.posexplode("bands").alias("band_idx", "band_hash"))
+    cand = (bx.alias("b")
+            .join(ix.alias("i"), ["band_idx", "band_hash"])
+            .select(F.col("b.doc_id").alias("new_doc"),
+                    F.col("i.doc_id").alias("index_doc"))
+            .distinct())
+    sb = batch_sigs.select(F.col("doc_id").alias("new_doc"),
+                           F.col("shset").alias("sb"))
+    si = index_sigs.select(F.col("doc_id").alias("index_doc"),
+                           F.col("shset").alias("si"))
+    n_inter = F.size(F.array_intersect("sb", "si"))
+    return (cand.join(sb, "new_doc").join(si, "index_doc")
+            .select("new_doc", "index_doc", n_inter.alias("n_inter"),
+                    (F.size("sb") + F.size("si") - n_inter).alias("n_union"))
+            .filter(F.col("n_inter") * 2 >= F.col("n_union")))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation funnel: quality gate -> exact dedup -> stratified sample
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_curation",
+    sql=f"""
+    WITH w AS (SELECT doc_id, lang, text, {WORDS_D} AS words FROM documents),
+    feats AS (
+      SELECT doc_id, lang, text, length(text) AS n_chars, len(words) AS n_words,
+             {_hits('en', 'duck')} AS n_stop,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+      FROM w WHERE len(words) > 0 AND length(text) > 0),
+    quality AS (
+      SELECT doc_id, lang, text FROM feats
+      WHERE n_words >= 5 AND n_chars >= 40
+        AND n_stop * 100 >= 2 * n_words AND n_punct * 10 <= n_words),
+    canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+    nondup AS (
+      SELECT q.doc_id, q.lang FROM quality q
+      JOIN canon c ON c.doc_id = q.doc_id),
+    sampled AS (
+      SELECT doc_id FROM nondup
+      WHERE ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) * 100
+            < 256 * ({_RATE_S}))
+    SELECT * FROM (
+      SELECT 0 AS stage_idx, 'raw' AS stage,
+             CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+      UNION ALL SELECT 1, 'quality',
+             CAST((SELECT COUNT(*) FROM quality) AS BIGINT)
+      UNION ALL SELECT 2, 'nondup',
+             CAST((SELECT COUNT(*) FROM nondup) AS BIGINT)
+      UNION ALL SELECT 3, 'sampled',
+             CAST((SELECT COUNT(*) FROM sampled) AS BIGINT))
+    """,
+    doc="the curation funnel a training-data pipeline actually ships: "
+        "quality gates (text_quality_score's exact predicates) -> exact "
+        "dedup keep-min-id (dedup_exact's groupBy on md5, applied as a "
+        "semi-join of canonical ids — ids only cross the shuffle) -> "
+        "per-language stratified hash sample (sample_stratified's "
+        "deterministic md5-bucket predicate).  Output is the per-stage "
+        "survivor count funnel.  Each stage is one shuffle-free filter or "
+        "one thin-key shuffle; nothing rescans upstream stages",
+)
+def corpus_curation(spark, sf_dir):
+    d = (t(spark, sf_dir, "documents")
+         .select("doc_id", "lang", "text", F.expr(WORDS_S).alias("words")))
+    feats = d.select(
+        "doc_id", "lang", "text",
+        F.length("text").alias("n_chars"), F.size("words").alias("n_words"),
+        F.expr(_hits("en", "spark")).alias("n_stop"),
+        F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).alias("n_punct"),
+    ).filter((F.col("n_words") > 0) & (F.col("n_chars") > 0))
+    quality = (feats.filter(
+        (F.col("n_words") >= 5) & (F.col("n_chars") >= 40)
+        & (F.col("n_stop") * 100 >= 2 * F.col("n_words"))
+        & (F.col("n_punct") * 10 <= F.col("n_words")))
+        .select("doc_id", "lang", "text"))
+    quality = _persist(quality)   # feeds canon + the semi-join left side
+    canon = (quality.groupBy(F.md5("text").alias("h"))
+             .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    nondup = quality.join(canon, "doc_id", "left_semi").select("doc_id", "lang")
+    nondup = _persist(nondup, fresh=False)
+    nib = lambda i: (F.expr(
+        f"instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), {i}, 1))") - 1)
+    sampled = nondup.filter(
+        (nib(1) * 16 + nib(2)) * 100 < 256 * F.expr(_RATE_S))
+
+    def stage(idx, name, df):
+        return df.groupBy().agg(F.count("*").cast("bigint").alias("n_docs")) \
+                 .select(F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"),
+                         "n_docs")
+
+    raw = t(spark, sf_dir, "documents").select("doc_id")
+    return (stage(0, "raw", raw)
+            .unionByName(stage(1, "quality", quality))
+            .unionByName(stage(2, "nondup", nondup))
+            .unionByName(stage(3, "sampled", sampled)))
