@@ -176,3 +176,107 @@ def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
     assert rows[(10, "view")] == 3
     # [10:20,10:30) never finalized (watermark stops at 10:22) -> absent
     assert (20, "view") not in rows
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup dedup against the growing signature index
+# ---------------------------------------------------------------------------
+
+def _py_words(t):
+    return [w for w in t.split(" ") if w]
+
+
+def _py_bands(ws):
+    """Pure-python replica of MINHASH_LSH_SIG_S's lanes/bands."""
+    import hashlib
+    sh = [" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)]
+    hs = [hashlib.md5(s.encode()).hexdigest()
+          + hashlib.md5(("#" + s).encode()).hexdigest() for s in sh]
+    lanes = [min(h[8 * j:8 * j + 8] for h in hs) for j in range(8)]
+    return ([lanes[0] + lanes[1], lanes[2] + lanes[3],
+             lanes[4] + lanes[5], lanes[6] + lanes[7]], set(sh))
+
+
+def _expected_decisions(doc_texts, threshold_pct=50):
+    """First-occurrence-wins dup decisions over docs in ingest order:
+    candidate iff >= 1 shared band with an earlier doc, dup iff exact
+    shingle Jaccard >= t, dup_of = smallest such doc_id."""
+    sigs = {}
+    for doc_id in sorted(doc_texts):
+        ws = _py_words(doc_texts[doc_id])
+        if len(ws) >= 3:
+            sigs[doc_id] = _py_bands(ws)
+    out = {}
+    for doc_id, (bands, sh) in sigs.items():
+        dup_of = None
+        for prev, (pbands, psh) in sigs.items():
+            if prev >= doc_id:
+                break
+            if not any(a == b for a, b in zip(bands, pbands)):
+                continue
+            inter = len(sh & psh)
+            union = len(sh) + len(psh) - inter
+            if union and inter * 100 >= threshold_pct * union:
+                dup_of = prev if dup_of is None else min(dup_of, prev)
+        out[doc_id] = dup_of
+    return out
+
+
+def test_streaming_dedup_index_growth_and_exactly_once(spark, tmp_path):
+    import duckdb
+    from pdf_extractor_spark.streaming.dedup import streaming_dedup
+
+    base = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet' "
+        "ORDER BY doc_id LIMIT 40").fetchall()
+    inp = tmp_path / "in"
+    state = tmp_path / "state"
+    inp.mkdir()
+
+    def write_batch(rows, name):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }), str(inp / name))
+
+    write_batch(base, "b1.parquet")
+    streaming_dedup(spark, str(inp), str(state))
+
+    # batch 2: 80%-truncated near-dup copies of every 4th doc + the rest
+    # of the corpus as fresh docs
+    copies = []
+    for doc_id, text in base:
+        if doc_id % 4 == 0:
+            ws = _py_words(text)
+            copies.append((doc_id + 3000000, " ".join(ws[:len(ws) * 4 // 5])))
+    fresh = duckdb.sql(
+        "SELECT doc_id + 500, text FROM "
+        "'/root/testdata/sf0.001/documents.parquet' "
+        "ORDER BY doc_id DESC LIMIT 5").fetchall()
+    write_batch(copies + fresh, "b2.parquet")
+    streaming_dedup(spark, str(inp), str(state))
+
+    got = {r.doc_id: (r.is_dup, r.dup_of)
+           for r in spark.read.parquet(f"{state}/decisions").collect()}
+
+    # the oracle decisions treat batch-1 docs as "earlier" than batch-2
+    # docs (batch-2 ids are all larger, so global id order == ingest order)
+    texts = dict(base) | {d: t for d, t in copies} | {d: t for d, t in fresh}
+    want = _expected_decisions(texts)
+    assert set(got) == set(want)
+    for doc_id, dup_of in want.items():
+        assert got[doc_id] == ((dup_of is not None), dup_of), doc_id
+
+    # engineered near-dup copies must actually be flagged against batch 1
+    flagged = [d for d, (isd, _) in got.items() if d >= 3000000 and isd]
+    assert flagged, "no engineered copy was flagged as duplicate"
+
+    # exactly-once: re-running with no new files changes nothing
+    n_before = len(got)
+    streaming_dedup(spark, str(inp), str(state))
+    assert spark.read.parquet(f"{state}/decisions").count() == n_before
+
+    # the index holds exactly the non-duplicate signed docs
+    idx_ids = {r.doc_id
+               for r in spark.read.parquet(f"{state}/index").collect()}
+    assert idx_ids == {d for d, (isd, _) in got.items() if not isd}
