@@ -1982,3 +1982,101 @@ def corpus_curation(spark, sf_dir):
             .unionByName(stage(1, "quality", quality))
             .unionByName(stage(2, "nondup", nondup))
             .unionByName(stage(3, "sampled", sampled)))
+
+
+# ---------------------------------------------------------------------------
+# Training-mix statistics: per-(source, lang) token budgets + sampling weights
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_mix",
+    sql=f"""
+    WITH toks AS (
+      SELECT source, lang, doc_id,
+             len({WORDS_D}) AS n_tokens
+      FROM documents),
+    per AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens_total
+      FROM toks GROUP BY source, lang),
+    tot AS (SELECT CAST(SUM(tokens_total) AS BIGINT) AS corpus_tokens FROM per)
+    SELECT source, lang, n_docs, tokens_total, corpus_tokens,
+           CAST(tokens_total AS DOUBLE) / CAST(corpus_tokens AS DOUBLE)
+             AS token_share
+    FROM per, tot
+    """,
+    doc="training-mix accounting: per-(source, lang) document and token "
+        "totals plus each stratum's share of the corpus token budget — the "
+        "table a data-mixing stage reads to set per-source sampling "
+        "weights.  One groupBy with map-side combine; the totals scalar "
+        "joins back as a broadcast (cross join with a 1-row side).  "
+        "Grouping keys are low-cardinality, so at 100 TB the partial "
+        "aggregates collapse to ~|sources|x|langs| rows before the shuffle",
+)
+def corpus_mix(spark, sf_dir):
+    toks = (t(spark, sf_dir, "documents")
+            .select("source", "lang",
+                    F.expr(f"size({WORDS_S})").alias("n_tokens")))
+    per = (toks.groupBy("source", "lang")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("tokens_total")))
+    tot = per.groupBy().agg(
+        F.sum("tokens_total").cast("bigint").alias("corpus_tokens"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("source", "lang", "n_docs", "tokens_total", "corpus_tokens",
+                    (F.col("tokens_total").cast("double")
+                     / F.col("corpus_tokens").cast("double")).alias("token_share")))
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination: n-gram collision scan against a benchmark set
+# ---------------------------------------------------------------------------
+
+@register(
+    "decontaminate",
+    sql=f"""
+    WITH evalset AS (
+      SELECT doc_id AS eval_id, {WORDS_D} AS words
+      FROM documents WHERE doc_id % 97 = 0),
+    corpus AS (
+      SELECT doc_id, {WORDS_D} AS words
+      FROM documents WHERE doc_id % 97 <> 0),
+    eg AS (
+      SELECT DISTINCT eval_id, sh FROM (
+        SELECT eval_id, unnest({SHINGLES_D}) AS sh FROM evalset
+        WHERE len(words) >= 3)),
+    cg AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest({SHINGLES_D}) AS sh FROM corpus
+        WHERE len(words) >= 3))
+    SELECT doc_id, CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_hit_ngrams,
+           CAST(COUNT(DISTINCT eval_id) AS BIGINT) AS n_eval_docs,
+           MIN(eval_id) AS first_eval_id
+    FROM (SELECT cg.doc_id, cg.sh, eg.eval_id
+          FROM cg JOIN eg ON eg.sh = cg.sh)
+    GROUP BY doc_id
+    """,
+    doc="benchmark decontamination (GPT-3 appx C / PaLM style): training "
+        "docs sharing any word 3-gram with the eval set (docs "
+        "doc_id%%97==0 stand in for the benchmark) are reported with hit "
+        "counts.  The eval side is tiny and its distinct n-gram index "
+        "BROADCASTS — the corpus side is a map-side hash probe, no "
+        "corpus-keyed shuffle until the per-doc aggregate; at 100 TB "
+        "that aggregate is the only exchange and it carries ids + counts "
+        "only.  (Real pipelines use 8-13-gram windows; the fixture corpus "
+        "is 50-word docs, so 3-grams keep the working set meaningful.)",
+)
+def decontaminate(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    def grams(df, idcol):
+        return (df.filter(F.expr(f"size({WORDS_S}) >= 3"))
+                .select(F.col("doc_id").alias(idcol),
+                        F.explode(F.array_distinct(
+                            F.expr(SHINGLES_FROM_TEXT_S))).alias("sh")))
+    eg = grams(d.filter(F.col("doc_id") % 97 == 0), "eval_id")
+    cg = grams(d.filter(F.col("doc_id") % 97 != 0), "doc_id")
+    return (cg.join(F.broadcast(eg), "sh")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("sh").alias("n_hit_ngrams"),
+                 F.countDistinct("eval_id").alias("n_eval_docs"),
+                 F.min("eval_id").alias("first_eval_id")))
