@@ -1,0 +1,131 @@
+"""Fuzzed cross-engine parity of the let-bound signature expressions.
+
+The round-2 perf rewrite moved minhash/simhash/shingle computation into
+single let-bound SQL expressions (corpus.let1).  These tests pin their
+semantics against independent pure-python replicas over adversarial texts
+(empty, repeated separators, unicode, 1-2 word docs, duplicate words) —
+the oracle gate only exercises the fixture corpus, so an edge-case
+divergence (e.g. a boundary slip in the lane slicing or vote parity)
+would otherwise surface only at deploy.
+"""
+
+import hashlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from pdf_extractor_spark.corpus import (MINHASH_SIG_S, SHINGLES_FROM_TEXT_S,
+                                        _simhash_nib_from_text_s)
+
+# words are split on a single space and empties dropped; include unicode,
+# punctuation and runs of spaces to stress the boundary conditions
+word_st = st.text(
+    alphabet=st.characters(blacklist_characters=" ", blacklist_categories=("Cs",)),
+    min_size=1, max_size=8)
+text_st = st.lists(
+    st.one_of(word_st, st.just("")), max_size=12).map(" ".join)
+
+
+def _words(t):
+    return [w for w in t.split(" ") if w]
+
+
+def _shingles(ws):
+    return [" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)]
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _py_minhash_sig(text):
+    ws = _words(text)
+    sh = _shingles(ws)
+    if not sh:
+        return None
+    hs = [_md5(s) + _md5("#" + s) for s in sh]
+    lanes = [min(h[8 * j:8 * j + 8] for h in hs) for j in range(8)]
+    return {
+        "n_shingles": len(sh),
+        "mh0": lanes[0], "mh1": lanes[1],
+        "band0": lanes[0] + lanes[1], "band1": lanes[2] + lanes[3],
+        "band2": lanes[4] + lanes[5], "band3": lanes[6] + lanes[7],
+    }
+
+
+def _py_simhash_nib(text, nbits=60):
+    ws = _words(text)
+    if not ws:
+        return None
+    votes = [0] * nbits
+    for w in ws:
+        h = _md5(w)
+        for j in range(nbits):
+            nib = int(h[j // 4], 16)
+            votes[j] += 1 if (nib >> (j % 4)) & 1 else -1
+    return sum(1 << j for j in range(nbits) if votes[j] > 0)
+
+
+def _run_texts(spark, texts, cols):
+    schema = StructType([StructField("text", StringType())])
+    df = spark.createDataFrame([(t,) for t in texts], schema)
+    return df.select(*cols).collect()
+
+
+@pytest.fixture(scope="module")
+def fuzz_texts():
+    """A deterministic adversarial pool, plus hypothesis adds random ones."""
+    return [
+        "", " ", "   ", "a", "a b", "a b c", "a  b   c", "a a a a",
+        "x y z x y z x y z", "\tword \t tab", "ünïcode wörds hére too",
+        "same same same", ". . . .", "a b c d e f g h i j k",
+    ]
+
+
+def test_minhash_sig_matches_python_replica(spark, fuzz_texts):
+    texts = fuzz_texts + [" ".join(["w%d" % (i % 5) for i in range(n)])
+                          for n in range(1, 20)]
+    rows = _run_texts(
+        spark, texts,
+        [F.col("text"), F.expr(MINHASH_SIG_S).alias("sig"),
+         F.expr(SHINGLES_FROM_TEXT_S).alias("sh")])
+    for r in rows:
+        want = _py_minhash_sig(r.text)
+        assert list(r.sh) == _shingles(_words(r.text)), repr(r.text)
+        if want is None:
+            assert r.sig.n_shingles == 0, repr(r.text)
+            continue
+        got = r.sig.asDict()
+        assert got == want, (repr(r.text), got, want)
+
+
+def test_simhash60_matches_python_replica(spark, fuzz_texts):
+    texts = [t for t in fuzz_texts if _words(t)]
+    rows = _run_texts(
+        spark, texts,
+        [F.col("text"), F.expr(_simhash_nib_from_text_s(60)).alias("sig")])
+    for r in rows:
+        assert r.sig == _py_simhash_nib(r.text), repr(r.text)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(text_st, min_size=1, max_size=8))
+def test_minhash_sig_fuzz(spark_session_holder, texts):
+    spark = spark_session_holder
+    rows = _run_texts(spark, texts,
+                      [F.col("text"), F.expr(MINHASH_SIG_S).alias("sig")])
+    for r in rows:
+        want = _py_minhash_sig(r.text)
+        if want is None:
+            assert r.sig.n_shingles == 0, repr(r.text)
+        else:
+            assert r.sig.asDict() == want, repr(r.text)
+
+
+@pytest.fixture(scope="module")
+def spark_session_holder(spark):
+    # hypothesis forbids function-scoped fixtures; re-expose module-scoped
+    return spark
