@@ -2080,3 +2080,60 @@ def decontaminate(spark, sf_dir):
             .agg(F.countDistinct("sh").alias("n_hit_ngrams"),
                  F.countDistinct("eval_id").alias("n_eval_docs"),
                  F.min("eval_id").alias("first_eval_id")))
+
+
+# ---------------------------------------------------------------------------
+# Corpus length distribution: EXACT per-stratum quantiles, relationally
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_length_stats",
+    sql=f"""
+    WITH toks AS (
+      SELECT lang, doc_id, len({WORDS_D}) AS n_tokens FROM documents),
+    ranked AS (
+      SELECT lang, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_tokens, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM toks)
+    SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(MIN(CASE WHEN rn * 2 >= n THEN n_tokens END) AS BIGINT)
+             AS p50_tokens,
+           CAST(MIN(CASE WHEN rn * 10 >= n * 9 THEN n_tokens END) AS BIGINT)
+             AS p90_tokens
+    FROM ranked GROUP BY lang
+    """,
+    doc="per-language token-length distribution with EXACT p50/p90 — no "
+        "percentile_approx sketch (whose centroids are engine- and "
+        "merge-order-dependent, so it can't be oracle-checked and its "
+        "error is unbounded on skewed corpora).  Quantile = first value "
+        "whose rank crosses the target fraction, computed with one "
+        "per-stratum window + one groupBy; the window sorts WITHIN each "
+        "language partition only — there is no global sort, so at 100 TB "
+        "each stratum sorts in parallel and the skew ceiling is the "
+        "largest single language, which is exactly the partition a "
+        "sampler would need to scan anyway.  Ties broken by doc_id so "
+        "both engines rank identically",
+)
+def corpus_length_stats(spark, sf_dir):
+    toks = (t(spark, sf_dir, "documents")
+            .select("lang", "doc_id",
+                    F.expr(f"size({WORDS_S})").alias("n_tokens")))
+    wr = W.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    wn = W.partitionBy("lang")
+    ranked = (toks.withColumn("rn", F.row_number().over(wr))
+              .withColumn("n", F.count("*").over(wn)))
+    return (ranked.groupBy("lang")
+            .agg(F.max("n").cast("bigint").alias("n_docs"),
+                 F.min("n_tokens").cast("bigint").alias("min_tokens"),
+                 F.max("n_tokens").cast("bigint").alias("max_tokens"),
+                 F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+                 F.min(F.when(F.col("rn") * 2 >= F.col("n"), F.col("n_tokens")))
+                  .cast("bigint").alias("p50_tokens"),
+                 F.min(F.when(F.col("rn") * 10 >= F.col("n") * 9,
+                              F.col("n_tokens")))
+                  .cast("bigint").alias("p90_tokens")))
