@@ -114,3 +114,26 @@ def test_b6_broadcasts_idf_table(spark):
 def test_b8_no_sort_merge_joins(spark):
     plan = plan_of(REGISTRY["b8_selection_output"].spark(spark, SF_DIR))
     assert "SortMergeJoin" not in plan, plan
+
+
+# Broadcast-tiny cross joins are the ONLY tolerated nested-loop joins:
+# 3 query vectors (ann_*), K centroids (ann_ivf_*), or a 1-row scalar
+# (corpus totals for corpus_mix / tfidf_terms and its b6/b8 consumers).
+_BNLJ_OK = {"ann_topk_cosine", "ann_ivf_probe", "ann_ivf_kmeans",
+            "b6_multifactor_rank", "b8_selection_output",
+            "corpus_mix", "tfidf_terms"}
+
+
+def test_registry_wide_no_unbounded_joins(spark):
+    """EVERY registry query's physical plan: no CartesianProduct ever, and
+    BroadcastNestedLoopJoin only where a broadcast-tiny side makes the
+    nested loop O(n·k) with k constant — the guard that keeps new
+    operators from silently shipping an all-pairs plan."""
+    offenders = []
+    for name in sorted(REGISTRY):
+        plan = plan_of(REGISTRY[name].spark(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_OK:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
