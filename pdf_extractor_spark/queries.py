@@ -50,9 +50,10 @@ def register(name: str, sql: str | None, doc: str):
 _COMPUTE_HEAVY = {"documents", "embeddings"}
 
 
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def t(spark: SparkSession, sf_dir: str, name: str,
+      spread: bool = True) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in _COMPUTE_HEAVY:
+    if spread and name in _COMPUTE_HEAVY:
         # Parquet scans split by row-group, so a small or well-compressed
         # corpus slice can arrive in far fewer partitions than cores while
         # its per-row compute is the real bottleneck (sf0.1 documents =
@@ -358,7 +359,11 @@ def f3_local_window_ratio(spark, sf_dir):
         "(extractor.py:211-252), n_chars//16 standing in for font size",
 )
 def a1_font_distribution(spark, sf_dir):
-    d = t(spark, sf_dir, "documents").withColumn("bucket", F.expr("n_chars div 16"))
+    # spread=False: this query's only per-row work is an integer divide —
+    # its first groupBy shuffle redistributes anyway, so the heavy-table
+    # spread repartition would be a pure extra exchange here
+    d = t(spark, sf_dir, "documents", spread=False) \
+        .withColumn("bucket", F.expr("n_chars div 16"))
     buckets = d.groupBy("source", "bucket").agg(F.count("*").alias("cnt"))
     tot = buckets.groupBy("source").agg(F.sum("cnt").alias("total"))
     wdom = W.partitionBy("source").orderBy(F.desc("cnt"), F.asc("bucket"))
