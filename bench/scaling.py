@@ -171,10 +171,16 @@ def main(argv=None) -> int:
             key = "n" if cores == n else "xn"
             pair[f"dps_{key}"] = m["docs_per_sec"]
             pair[f"wall_{key}"] = m["wall_s"]
+            pair[f"spans_{key}"] = m["spans_total"]
             pair[f"probe_{key}"] = round(probe, 2)
             if cores not in results or \
                     m["docs_per_sec"] > results[cores]["docs_per_sec"]:
                 results[cores] = m
+        # the correctness half of the rule: BOTH levels must produce the
+        # identical output (span totals are the cheap proxy; the pytest
+        # gate asserts exact per-doc span equality + partition invariance)
+        assert pair["spans_n"] == pair["spans_xn"], \
+            (pair["spans_n"], pair["spans_xn"])
         pair["efficiency"] = round(pair["dps_xn"] / (factor * pair["dps_n"]), 3)
         pair["host_probe_speedup"] = round(pair["probe_xn"] / pair["probe_n"], 2)
         reps.append(pair)
@@ -196,6 +202,7 @@ def main(argv=None) -> int:
         "target": 0.8, "pass": eff >= 0.8,
         "best_rep": best["rep"],
         "wall_n": best["wall_n"], "wall_xn": best["wall_xn"],
+        "spans_n": best["spans_n"], "spans_xn": best["spans_xn"],
         "all_reps": reps,
         # what the HOST delivered between the same thread counts in the
         # best rep's windows: the ceiling for ANY job's wall-clock speedup
@@ -231,8 +238,8 @@ of 8 on this machine).
 
 | level | master | docs/sec | job wall (s) | spans | parse failures |
 |---|---|---|---|---|---|
-| N = {n} cores | local[{n}] | {s['docs_per_sec_n']} | {s['wall_n']:.1f} | {s['spans_total']} | {s['parse_failures']} |
-| 4N = {xn} cores | local[{xn}] | {s['docs_per_sec_xn']} | {s['wall_xn']:.1f} | {s['spans_total']} | {s['parse_failures']} |
+| N = {n} cores | local[{n}] | {s['docs_per_sec_n']} | {s['wall_n']:.1f} | {s['spans_n']} | {s['parse_failures']} |
+| 4N = {xn} cores | local[{xn}] | {s['docs_per_sec_xn']} | {s['wall_xn']:.1f} | {s['spans_xn']} | {s['parse_failures']} |
 
 **Speedup {s['speedup']}× on 4× cores → scaling efficiency
 {s['scaling_efficiency']} (target ≥ {s['target']}: {'PASS' if s['pass'] else 'FAIL'}).**

@@ -332,13 +332,14 @@ def dedup_minhash_lsh(spark, sf_dir):
 # D3. SimHash near-dup (16-bit signature, hamming distance on engineered pairs)
 # ---------------------------------------------------------------------------
 
-def _simhash_expr(dialect: str, nbits: int = 16) -> str:
+def _simhash_expr_d(nbits: int = 16) -> str:
     """``nbits``-bit simhash over a column `hs` = array of per-word md5 hex
-    strings (md5 has 32 hex digits, so nbits <= 32).
+    strings (md5 has 32 hex digits, so nbits <= 32).  DuckDB dialect only
+    (one vectorized list pass per bit is fine in the oracle; the Spark
+    side is the single-pass _simhash_from_text_s).
 
     Bit j votes +1/-1 on the parity of hex digit j of each word hash;
-    bit set iff the vote sum is strictly positive.  (DuckDB dialect: one
-    vectorized list pass per bit is fine in the oracle.)
+    bit set iff the vote sum is strictly positive.
     """
     terms = []
     for j in range(nbits):
@@ -417,7 +418,7 @@ def _simhash_from_text_s(nbits: int = 16) -> str:
     sql=f"""
     WITH {NEARDUP_CORPUS_D},
     sigs AS (
-      SELECT doc_id, {_simhash_expr('duck')} AS simhash
+      SELECT doc_id, {_simhash_expr_d()} AS simhash
       FROM (SELECT doc_id, list_transform({WORDS_D}, w -> md5(w)) AS hs
             FROM corpus)
       WHERE len(hs) >= 1)

@@ -69,12 +69,15 @@ def validate_extracted(df: DataFrame) -> DataFrame:
     span_ok = (F.col("s.offset") == F.col("pos")) \
         & F.expr(f"s.kind IN ({kind_set})") \
         & ((F.col("pos") != 0) | (F.col("s.kind") == "title"))
+    # NULL kind/offset makes span_ok NULL, and `when(cond)` treats NULL as
+    # false — coalesce so a NULL field counts as a violation, as it did in
+    # the array-predicate form (where forall/== propagated NULL to invalid)
+    span_bad = F.col("pos").isNotNull() & ~F.coalesce(span_ok, F.lit(False))
     per_doc = (ex.groupBy("part_id", "doc_id")
                .agg(F.first("n_spans").alias("n_spans"),
                     F.first("parse_failures").alias("parse_failures"),
                     F.first("sz").alias("sz"),
-                    F.sum(F.when(F.col("pos").isNotNull() & ~span_ok, 1)
-                          .otherwise(0)).alias("bad_spans")))
+                    F.sum(F.when(span_bad, 1).otherwise(0)).alias("bad_spans")))
     consistent = F.col("n_spans") == F.col("sz")
     is_error_rec = (F.col("parse_failures") == 1) & (F.col("sz") == 0)
     valid = consistent & (

@@ -50,6 +50,12 @@ def register(name: str, sql: str | None, doc: str):
 _COMPUTE_HEAVY = {"documents", "embeddings"}
 
 
+# scan-split counts per parquet path: invariant within a session, and
+# df.rdd.getNumPartitions() forces full physical planning per call — cache
+# so repeated t() calls don't replan the same scan
+_SCAN_PARTS: dict[str, int] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str,
       spread: bool = True) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -62,7 +68,10 @@ def t(spark: SparkSession, sf_dir: str, name: str,
         # the scan already yields >= that many splits this branch never
         # fires, so no extra shuffle is introduced at scale.
         target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
+        path = f"{sf_dir}/{name}.parquet"
+        if path not in _SCAN_PARTS:
+            _SCAN_PARTS[path] = df.rdd.getNumPartitions()
+        if _SCAN_PARTS[path] < target:
             df = df.repartition(target)
     return df
 

@@ -58,16 +58,21 @@ def _signatures(docs: DataFrame) -> DataFrame:
 
 
 def _verified_pairs(new_sigs: DataFrame, index_sigs: DataFrame,
-                    threshold_pct: int) -> DataFrame:
+                    threshold_pct: int, ordered: bool = False) -> DataFrame:
     """(new_doc, dup_of) pairs with exact shingle Jaccard >= t, candidates
-    blocked by band-key equality (never all-pairs)."""
+    blocked by band-key equality (never all-pairs).  ``ordered=True`` (the
+    within-batch self-join) keeps only index_doc < new_doc AT CANDIDATE
+    TIME — verifying both orientations of every pair and discarding half
+    afterwards would double the expensive verify-join work."""
     bx = new_sigs.select("doc_id",
                          F.posexplode("bands").alias("band_idx", "band_hash"))
     ix = index_sigs.select("doc_id",
                           F.posexplode("bands").alias("band_idx", "band_hash"))
+    pair_cond = (F.col("i.doc_id") < F.col("b.doc_id")) if ordered \
+        else (F.col("b.doc_id") != F.col("i.doc_id"))
     cand = (bx.alias("b")
             .join(ix.alias("i"), ["band_idx", "band_hash"])
-            .filter(F.col("b.doc_id") != F.col("i.doc_id"))
+            .filter(pair_cond)
             .select(F.col("b.doc_id").alias("new_doc"),
                     F.col("i.doc_id").alias("index_doc"))
             .distinct())
@@ -84,6 +89,8 @@ def _verified_pairs(new_sigs: DataFrame, index_sigs: DataFrame,
 
 def _process_batch(batch_df: DataFrame, batch_id: int, state_dir: str,
                    threshold_pct: int) -> None:
+    from pyspark.errors import AnalysisException
+
     spark = batch_df.sparkSession
     sigs = _signatures(batch_df.select("doc_id", "text")).persist()
     try:
@@ -92,18 +99,25 @@ def _process_batch(batch_df: DataFrame, batch_id: int, state_dir: str,
                  .parquet(f"{state_dir}/index")
                  .filter(F.col("batch_id") < batch_id)
                  .select("doc_id", "shset", "bands"))
-    except Exception:  # first batch: no index yet
+        index.schema  # force resolution inside the try
+    except AnalysisException:  # first batch: no index yet.  ONLY the
+        # missing-path error may fall through to "empty index" — a
+        # transient read failure must fail the batch (and be retried by
+        # the stream) rather than silently commit every cross-batch
+        # duplicate as an original
         index = spark.createDataFrame([], _SIG_SCHEMA)
 
     vs_index = _verified_pairs(sigs, index, threshold_pct)
-    vs_batch = (_verified_pairs(sigs, sigs, threshold_pct)
-                .filter(F.col("index_doc") < F.col("new_doc")))
+    vs_batch = _verified_pairs(sigs, sigs, threshold_pct, ordered=True)
     dup_of = (vs_index.unionByName(vs_batch)
               .groupBy("new_doc")
               .agg(F.min("index_doc").alias("dup_of")))
 
-    decisions = (sigs.select("doc_id")
-                 .join(dup_of, sigs.doc_id == dup_of.new_doc, "left")
+    # one decision row per INGESTED doc: docs below the 3-word signature
+    # floor can never match anything (no shingles) — they are recorded
+    # is_dup=false here and never enter the index
+    decisions = (batch_df.select("doc_id").distinct()
+                 .join(dup_of, F.col("doc_id") == F.col("new_doc"), "left")
                  .select("doc_id",
                          F.col("dup_of").isNotNull().alias("is_dup"),
                          "dup_of"))

@@ -197,28 +197,35 @@ def _py_bands(ws):
              lanes[4] + lanes[5], lanes[6] + lanes[7]], set(sh))
 
 
-def _expected_decisions(doc_texts, threshold_pct=50):
-    """First-occurrence-wins dup decisions over docs in ingest order:
-    candidate iff >= 1 shared band with an earlier doc, dup iff exact
-    shingle Jaccard >= t, dup_of = smallest such doc_id."""
-    sigs = {}
-    for doc_id in sorted(doc_texts):
-        ws = _py_words(doc_texts[doc_id])
-        if len(ws) >= 3:
-            sigs[doc_id] = _py_bands(ws)
-    out = {}
-    for doc_id, (bands, sh) in sigs.items():
-        dup_of = None
-        for prev, (pbands, psh) in sigs.items():
-            if prev >= doc_id:
-                break
-            if not any(a == b for a, b in zip(bands, pbands)):
-                continue
-            inter = len(sh & psh)
-            union = len(sh) + len(psh) - inter
-            if union and inter * 100 >= threshold_pct * union:
-                dup_of = prev if dup_of is None else min(dup_of, prev)
-        out[doc_id] = dup_of
+def _expected_decisions(batches, threshold_pct=50):
+    """Pure-python replica of streaming_dedup's EXACT decision semantics,
+    batch by batch: a doc is dup iff some SURVIVOR of an earlier batch
+    (the index holds only non-dup signed docs), or some smaller-id signed
+    doc of the SAME batch (dup or not), has band collision + exact
+    shingle Jaccard >= t; dup_of = the smallest such id.  Docs under the
+    3-word signature floor get is_dup=False and never join the index."""
+    def match(a, b):
+        (bands, sh), (pbands, psh) = a, b
+        if not any(x == y for x, y in zip(bands, pbands)):
+            return False
+        inter = len(sh & psh)
+        union = len(sh) + len(psh) - inter
+        return bool(union) and inter * 100 >= threshold_pct * union
+
+    index, out = {}, {}
+    for batch in batches:
+        sigs = {d: _py_bands(_py_words(t)) for d, t in sorted(batch.items())
+                if len(_py_words(t)) >= 3}
+        for doc_id, sig in sigs.items():
+            cands = [p for p, psig in index.items() if match(sig, psig)]
+            cands += [p for p, psig in sigs.items()
+                      if p < doc_id and match(sig, psig)]
+            out[doc_id] = min(cands) if cands else None
+        for d in batch:
+            out.setdefault(d, None)
+        for d, sig in sigs.items():
+            if out[d] is None:
+                index[d] = sig
     return out
 
 
@@ -261,8 +268,8 @@ def test_streaming_dedup_index_growth_and_exactly_once(spark, tmp_path):
 
     # the oracle decisions treat batch-1 docs as "earlier" than batch-2
     # docs (batch-2 ids are all larger, so global id order == ingest order)
-    texts = dict(base) | {d: t for d, t in copies} | {d: t for d, t in fresh}
-    want = _expected_decisions(texts)
+    want = _expected_decisions([dict(base),
+                                {d: t for d, t in copies + fresh}])
     assert set(got) == set(want)
     for doc_id, dup_of in want.items():
         assert got[doc_id] == ((dup_of is not None), dup_of), doc_id
@@ -279,4 +286,7 @@ def test_streaming_dedup_index_growth_and_exactly_once(spark, tmp_path):
     # the index holds exactly the non-duplicate signed docs
     idx_ids = {r.doc_id
                for r in spark.read.parquet(f"{state}/index").collect()}
-    assert idx_ids == {d for d, (isd, _) in got.items() if not isd}
+    texts = dict(base) | dict(copies) | dict(fresh)
+    signed = {d for d, t in texts.items() if len(_py_words(t)) >= 3}
+    assert idx_ids == {d for d, (isd, _) in got.items()
+                       if not isd and d in signed}

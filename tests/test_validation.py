@@ -54,6 +54,15 @@ class TestValidateExtracted:
         rows = [row("a", [], failures=0)]
         assert self.check(spark, rows) == (1, 1)
 
+    def test_null_kind_or_offset_fails(self, spark):
+        """NULL span fields are violations, not silent passes (`when()`
+        treats a NULL predicate as false — regression for the coalesce)."""
+        rows = [
+            row("a", [sp("title", "T", 0), sp("body", "b", None)]),
+            row("b", [sp("title", "T", 0), sp(None, "x", 1)]),
+        ]
+        assert self.check(spark, rows) == (2, 2)
+
 
 def test_pipeline_run_validates_green(spark, corpus_path, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("vrun"))
