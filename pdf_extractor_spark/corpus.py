@@ -1215,11 +1215,13 @@ def ann_ivf_kmeans(spark, sf_dir):
         dims = (assign_last.join(data, "vec_id")
                 .select("cell", F.posexplode("qv").alias("dim0", "val"))
                 .groupBy("cell", "dim0").agg(F.avg("val").alias("cval")))
+        # cents is consumed exactly once per round (next assignment, or the
+        # final probe), so unlike assign_last it needs no materialize —
+        # its lineage is cut by the persisted assign_last it reads from
         cents = (dims.groupBy("cell")
                  .agg(F.transform(
                      F.array_sort(F.collect_list(F.struct("dim0", "cval"))),
                      lambda s: s["cval"]).alias("cv")))
-        cents = _materialize(_persist(cents, fresh=False))
     q = (e.filter(F.col("vec_id") < 3)
          .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"))
          .withColumn("na", F.expr(
