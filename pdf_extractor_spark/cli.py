@@ -35,19 +35,35 @@ def _run_selection(spark, input_path: str, config_path: str, out_path: str,
     kws = persona_keywords(cfg["persona"], cfg["job_to_be_done"])
     proc = cfg.get("processing_config", {})
     raw = spark.read.parquet(input_path)
+    names = [d["filename"] for d in cfg.get("documents", [])]
     if "spans" in raw.columns and "text" not in raw.columns:
         # extraction-output input (doc_id, spans): compose extract → select.
-        # Text = the non-media span texts in order; the whole table is one
-        # collection (the reference's 1B unit), named by the config.
+        # Text = the non-media span texts in order.  If the extraction
+        # output carries a `source` column the config's documents list
+        # scopes the collection exactly as in the text branch; a bare
+        # (doc_id, spans) table has no filename to match, so the whole
+        # table is one collection (named by the config) and a non-empty
+        # documents list cannot be honored — fail loudly rather than
+        # silently selecting from documents outside the collection.
+        if "source" in raw.columns:
+            src_col = F.col("source")
+            if names:
+                raw = raw.filter(src_col.isin(names))
+        elif names:
+            raise ValueError(
+                "config lists specific documents but the spans input has "
+                "no `source` column to match filenames against; drop the "
+                "documents list or add `source` to the extraction output")
+        else:
+            src_col = F.lit(cfg["collection_name"])
         docs = raw.select(
             "doc_id",
-            F.lit(cfg["collection_name"]).alias("source"),
+            src_col.alias("source"),
             F.array_join(F.expr(
                 "transform(filter(spans, s -> s.kind != 'media'), s -> s.text)"),
                 " ").alias("text"))
     else:
         docs = raw.select("doc_id", "source", "text")
-        names = [d["filename"] for d in cfg.get("documents", [])]
         if names:
             docs = docs.filter(F.col("source").isin(names))
     t0 = time.perf_counter()

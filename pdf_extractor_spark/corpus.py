@@ -1128,16 +1128,22 @@ _CNRM_D = ("sqrt(CAST(list_sum(list_transform(range(1, 65), "
 K_IVF = 8
 
 
-def _kmeans_sql_iter(it: int) -> str:
-    """One unrolled Lloyd iteration in DuckDB SQL: assign to the nearest
-    centroid (cosine, cell tie-break), then recompute per-cell means."""
+def _kmeans_sql_assign(it: int) -> str:
+    """Assignment of every data vector to its nearest cent{it} centroid
+    (cosine, cell tie-break)."""
     return f"""
     assign{it} AS (
       SELECT vec_id, cell FROM (
         SELECT d.vec_id, c.cell,
                ROW_NUMBER() OVER (PARTITION BY d.vec_id
                  ORDER BY {_CDOT_D} / {_CNRM_D} DESC, c.cell ASC) AS rn
-        FROM data d CROSS JOIN cent{it} c) WHERE rn = 1),
+        FROM data d CROSS JOIN cent{it} c) WHERE rn = 1)"""
+
+
+def _kmeans_sql_iter(it: int) -> str:
+    """One unrolled Lloyd iteration in DuckDB SQL: assign to the nearest
+    centroid (cosine, cell tie-break), then recompute per-cell means."""
+    return f"""{_kmeans_sql_assign(it)},
     dims{it} AS (
       SELECT a.cell, u.i AS dim, AVG(d.qv[u.i]) AS cval
       FROM assign{it} a JOIN data d ON d.vec_id = a.vec_id,
@@ -1158,6 +1164,7 @@ def _kmeans_sql_iter(it: int) -> str:
       FROM e WHERE vec_id >= 3 AND vec_id < {3 + K_IVF}),
     {_kmeans_sql_iter(0)},
     {_kmeans_sql_iter(1)},
+    {_kmeans_sql_assign(2)},
     q AS (
       SELECT vec_id AS query_id, qv,
              (SELECT {NORM_D} FROM (SELECT qv AS q) x) AS na
@@ -1176,7 +1183,7 @@ def _kmeans_sql_iter(it: int) -> str:
                   * sqrt(CAST((SELECT {NORM_D} FROM (SELECT d.qv AS q) x) AS DOUBLE)))
                AS cos_sim
       FROM q JOIN probe p ON p.query_id = q.query_id
-      JOIN assign1 a ON a.cell = p.cell
+      JOIN assign2 a ON a.cell = p.cell
       JOIN data d ON d.vec_id = a.vec_id)
     SELECT query_id, rank, vec_id, cell, cos_sim FROM (
       SELECT query_id, vec_id, cell, cos_sim,
@@ -1201,27 +1208,34 @@ def ann_ivf_kmeans(spark, sf_dir):
     cents = (e.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 3 + K_IVF))
              .select((F.col("vec_id") - 3).alias("cell"),
                      F.expr("transform(qv, x -> CAST(x AS DOUBLE))").alias("cv")))
-    assign_last = None
-    for _ in range(2):
+    def assign_to(cents_df):
         wa = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
-        assign_last = (data.crossJoin(F.broadcast(cents))
-                       .withColumn("ccos", F.expr(f"{_CDOT_S} / {_CNRM_S}"))
-                       .withColumn("rn", F.row_number().over(wa))
-                       .filter("rn = 1").select("vec_id", "cell"))
-        # assignments feed both the centroid update and (last round) two
-        # downstream consumers — materialize per round or the lloyd
-        # iteration lineage re-runs the crossJoin per reference
-        assign_last = _materialize(_persist(assign_last, fresh=False))
-        dims = (assign_last.join(data, "vec_id")
+        step = (data.crossJoin(F.broadcast(cents_df))
+                .withColumn("ccos", F.expr(f"{_CDOT_S} / {_CNRM_S}"))
+                .withColumn("rn", F.row_number().over(wa))
+                .filter("rn = 1").select("vec_id", "cell"))
+        # assignments feed multiple consumers (centroid update, or the
+        # retrieval legs) — materialize per round or the lloyd iteration
+        # lineage re-runs the crossJoin per reference
+        return _materialize(_persist(step, fresh=False))
+
+    for _ in range(2):
+        dims = (assign_to(cents).join(data, "vec_id")
                 .select("cell", F.posexplode("qv").alias("dim0", "val"))
                 .groupBy("cell", "dim0").agg(F.avg("val").alias("cval")))
         # cents is consumed exactly once per round (next assignment, or the
-        # final probe), so unlike assign_last it needs no materialize —
-        # its lineage is cut by the persisted assign_last it reads from
+        # final probe), so unlike the assignments it needs no materialize —
+        # its lineage is cut by the persisted assignment it reads from
         cents = (dims.groupBy("cell")
                  .agg(F.transform(
                      F.array_sort(F.collect_list(F.struct("dim0", "cval"))),
                      lambda s: s["cval"]).alias("cv")))
+    # FINAL assignment against the FINAL centroids: the probe below ranks
+    # cells by cent2 geometry, so the stored cell membership must use the
+    # same centroids — retrieving via the last training assignment (built
+    # against cent1) would silently miss vectors whose nearest centroid
+    # moved in the last mean update
+    assign_last = assign_to(cents)
     q = (e.filter(F.col("vec_id") < 3)
          .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"))
          .withColumn("na", F.expr(

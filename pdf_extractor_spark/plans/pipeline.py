@@ -173,9 +173,13 @@ def run_extraction(
              .otherwise("validated").alias("status"),
         ))
     catalog.append(validation, lin_loc)
+    # THIS run's violations only (scoped by snapshot) — earlier runs'
+    # validation_failed rows stay durably in lineage but must not flag a
+    # later clean re-run of the same output dir
     violations_total = int(
         spark.read.parquet(lin_loc)
-        .filter(F.col("status") == "validation_failed")
+        .filter((F.col("status") == "validation_failed")
+                & (F.col("source_snapshot") == snapshot))
         .agg(F.sum("parse_failures")).collect()[0][0] or 0)
 
     stats = (spark.read.parquet(lin_loc).filter(F.col("status") == "committed")

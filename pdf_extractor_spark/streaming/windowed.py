@@ -45,7 +45,11 @@ def windowed_event_counts(
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"),
-             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+             # decimal accumulator for order-independent exact sums; scale 6
+             # so sub-cent values are summed, not quantized away per row
+             # (decimal(18,2) rounded each ROW — a 0.004-per-event stream
+             # summed to 0.00)
+             F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
               .alias("sum_value"))
         .select(F.col("w.start").alias("window_start"),
                 F.col("w.end").alias("window_end"),

@@ -13,7 +13,23 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .plans.selection import CHUNK_STRIDE, CHUNK_WORDS
 from .queries import register, t
+
+# shared chunking fragments (Spark + DuckDB dialects), parameterized on the
+# SAME constants plans/selection.py uses — retuning CHUNK_WORDS/CHUNK_STRIDE
+# retunes the b2/b8 registry queries AND their oracles in one place.
+# min tail: a window starts at c*STRIDE and must cover >= WORDS-STRIDE+1
+# fresh words, so the last chunk index is (n_words - _TAIL) div STRIDE.
+_TAIL = CHUNK_WORDS - CHUNK_STRIDE + 1
+CHUNK_IDX_D = (f"unnest(range(0, greatest(0, (len(words) - {_TAIL}) "
+               f"// {CHUNK_STRIDE}) + 1)) AS u(c)")
+CHUNK_SLICE_D = (f"words[(u.c * {CHUNK_STRIDE} + 1):"
+                 f"(u.c * {CHUNK_STRIDE} + {CHUNK_WORDS})]")
+CHUNK_IDX_S = (f"sequence(0, greatest(0, (size(words) - {_TAIL}) "
+               f"div {CHUNK_STRIDE}))")
+CHUNK_SLICE_S = f"slice(words, chunk_idx * {CHUNK_STRIDE} + 1, {CHUNK_WORDS})"
+
 
 
 @register(
@@ -112,17 +128,17 @@ def w3_consecutive_merge(spark, sf_dir):
 
 @register(
     "b2_semantic_chunking",
-    sql="""
+    sql=f"""
     WITH w AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
       FROM documents),
     c AS (
       SELECT doc_id, len(words) AS n_words, u.c AS chunk_idx,
-             array_to_string(words[(u.c * 50 + 1):(u.c * 50 + 60)], ' ') AS chunk_text
-      FROM w, unnest(range(0, greatest(0, (len(words) - 11) // 50) + 1)) AS u(c)
+             array_to_string({CHUNK_SLICE_D}, ' ') AS chunk_text
+      FROM w, {CHUNK_IDX_D}
       WHERE len(words) > 0)
     SELECT doc_id, chunk_idx, n_words,
-           chunk_idx * 50 AS start_word,
+           chunk_idx * {CHUNK_STRIDE} AS start_word,
            chunk_text, length(chunk_text) AS chunk_chars
     FROM c
     """,
@@ -137,13 +153,12 @@ def b2_semantic_chunking(spark, sf_dir):
          .filter(F.size("words") > 0))
     c = (w.select(
             "doc_id", F.size("words").alias("n_words"), "words",
-            F.explode(F.expr(
-                "sequence(0, greatest(0, (size(words) - 11) div 50))")).alias("chunk_idx"))
+            F.explode(F.expr(CHUNK_IDX_S)).alias("chunk_idx"))
          .withColumn("chunk_text",
-                     F.expr("array_join(slice(words, chunk_idx * 50 + 1, 60), ' ')")))
+                     F.expr(f"array_join({CHUNK_SLICE_S}, ' ')")))
     return c.select(
         "doc_id", "chunk_idx", "n_words",
-        (F.col("chunk_idx") * 50).alias("start_word"),
+        (F.col("chunk_idx") * CHUNK_STRIDE).alias("start_word"),
         "chunk_text", F.length("chunk_text").alias("chunk_chars"),
     )
 
@@ -367,8 +382,8 @@ _B8_KW_SQL = "[" + ", ".join(f"'{k}'" for k in _B8_KW) + "]"
       FROM dfreq, tot),
     c AS (
       SELECT doc_id, source, u.c AS chunk_idx,
-             words[(u.c * 50 + 1):(u.c * 50 + 60)] AS cw
-      FROM w, unnest(range(0, greatest(0, (len(words) - 11) // 50) + 1)) AS u(c)
+             {CHUNK_SLICE_D} AS cw
+      FROM w, {CHUNK_IDX_D}
       WHERE len(words) > 0),
     ct AS (SELECT doc_id, chunk_idx, unnest(list_distinct(cw)) AS term FROM c),
     cidf AS (
