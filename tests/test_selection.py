@@ -232,3 +232,69 @@ class TestCliSelectionMode:
             assert rec["metadata"]["persona"] == "Analyst"
             assert rec["metadata"]["processing_timestamp"] == "2026-02-02T00:00:00"
             assert 1 <= len(rec["extracted_sections"]) <= 25
+
+
+class TestSpansInputScoping:
+    def _write_spans_with_source(self, path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pdf_extractor_spark.gen import gen_corpus
+        rows = gen_corpus(40, seed=3)
+        span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                            ("media_ref", pa.string()), ("offset", pa.int32())])
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+            "source": pa.array(["fileA.pdf" if i % 2 == 0 else "fileB.pdf"
+                                for i in range(len(rows))], pa.string()),
+            "spans": pa.array([r["spans"] for r in rows], pa.list_(span_t)),
+        }), str(path))
+
+    def test_documents_list_scopes_spans_input_with_source(self, tmp_path):
+        """A spans-shaped input CARRYING a source column is scoped by the
+        config's documents list exactly like the text branch."""
+        inp = tmp_path / "spans.parquet"
+        self._write_spans_with_source(inp)
+        cfg = dict(CHALLENGE)
+        cfg["documents"] = [{"filename": "fileA.pdf"}]
+        cfg_path = tmp_path / "input.json"
+        cfg_path.write_text(json.dumps(cfg))
+        out_path = tmp_path / "records.json"
+        proc = subprocess.run(
+            [sys.executable, "-m", "pdf_extractor_spark.cli",
+             "--input", str(inp), "--output", str(out_path),
+             "--config", str(cfg_path), "--master", "local[4]"],
+            capture_output=True, text=True, timeout=240)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        records = json.loads(out_path.read_text())
+        rec = records[list(records)[0]]
+        docs = {s["document"] for s in rec["extracted_sections"]}
+        # fileA.pdf was assigned to the even-index docs; scoping must keep
+        # ONLY those (the document field carries the doc_id)
+        assert docs, "no sections selected"
+        assert all(int(d.split("-")[1]) % 2 == 0 for d in docs), docs
+
+    def test_documents_list_without_source_column_fails_loudly(self, tmp_path):
+        """A bare (doc_id, spans) table cannot honor a documents list —
+        the CLI must error, not silently select from the whole table."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pdf_extractor_spark.gen import gen_corpus
+        rows = gen_corpus(10, seed=3)
+        span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                            ("media_ref", pa.string()), ("offset", pa.int32())])
+        inp = tmp_path / "spans.parquet"
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+            "spans": pa.array([r["spans"] for r in rows], pa.list_(span_t)),
+        }), str(inp))
+        cfg = dict(CHALLENGE)
+        cfg["documents"] = [{"filename": "fileA.pdf"}]
+        cfg_path = tmp_path / "input.json"
+        cfg_path.write_text(json.dumps(cfg))
+        proc = subprocess.run(
+            [sys.executable, "-m", "pdf_extractor_spark.cli",
+             "--input", str(inp), "--output", str(tmp_path / "r.json"),
+             "--config", str(cfg_path), "--master", "local[4]"],
+            capture_output=True, text=True, timeout=240)
+        assert proc.returncode != 0
+        assert "documents" in proc.stderr
