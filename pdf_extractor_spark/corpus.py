@@ -2154,3 +2154,42 @@ def corpus_length_stats(spark, sf_dir):
                  F.min(F.when(F.col("rn") * 10 >= F.col("n") * 9,
                               F.col("n_tokens")))
                   .cast("bigint").alias("p90_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary heavy-hitters: exact top-k terms per language stratum
+# ---------------------------------------------------------------------------
+
+@register(
+    "vocab_topk",
+    sql=f"""
+    WITH toks AS (
+      SELECT lang, unnest({WORDS_D}) AS term FROM documents),
+    counts AS (
+      SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks GROUP BY lang, term),
+    ranked AS (
+      SELECT lang, term, n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n DESC, term ASC) AS rank
+      FROM counts)
+    SELECT lang, CAST(rank AS INT) AS rank, term, n
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="vocabulary heavy-hitters: exact top-10 terms per language with "
+        "counts — the table a tokenizer-training or corpus-inspection "
+        "stage reads.  One groupBy on (lang, term) with map-side combine "
+        "(raw tokens collapse to the vocabulary inside each scan task), "
+        "then the rank window runs on the AGGREGATED table — vocabulary "
+        "is Heaps-sublinear in corpus size, so the window input stays "
+        "small at 100 TB and no per-token row ever reaches a sort.  "
+        "Deterministic tie-break by term",
+)
+def vocab_topk(spark, sf_dir):
+    toks = (t(spark, sf_dir, "documents")
+            .select("lang", F.explode(F.expr(WORDS_S)).alias("term")))
+    counts = toks.groupBy("lang", "term").agg(F.count("*").alias("n"))
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("lang", "rank", "term", "n"))
