@@ -2193,3 +2193,73 @@ def vocab_topk(spark, sf_dir):
     return (counts.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 10)
             .select("lang", "rank", "term", "n"))
+
+
+# ---------------------------------------------------------------------------
+# Document rarity score: the LM-perplexity-style quality proxy, exact math
+# ---------------------------------------------------------------------------
+
+@register(
+    "quality_rarity",
+    sql=f"""
+    WITH w AS (SELECT doc_id, {WORDS_D} AS words FROM documents),
+    tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+    terms AS (
+      SELECT doc_id, unnest(list_distinct(words)) AS term
+      FROM w WHERE len(words) > 0),
+    dfreq AS (SELECT term, COUNT(*) AS n_df FROM terms GROUP BY term),
+    idf AS (
+      SELECT term,
+             CAST(floor(((CAST(n_docs AS DOUBLE) - CAST(n_df AS DOUBLE) + 0.5)
+                         / (CAST(n_df AS DOUBLE) + 0.5)) * 10000) AS BIGINT)
+               AS q_idf
+      FROM dfreq, tot)
+    SELECT doc_id, n_distinct_terms,
+           CAST(sum_q AS DOUBLE) / 10000.0 AS sum_idf,
+           CAST(sum_q AS DOUBLE) / 10000.0 / CAST(n_distinct_terms AS DOUBLE)
+             AS mean_idf,
+           sum_q * 10 > 2 * 100000 * n_distinct_terms AS is_rare
+    FROM (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_terms,
+             CAST(SUM(i.q_idf) AS BIGINT) AS sum_q
+      FROM terms t JOIN idf i ON i.term = t.term
+      GROUP BY t.doc_id)
+    """,
+    doc="document rarity scoring — the relational stand-in for the CCNet "
+        "LM-perplexity quality signal: each doc's mean corpus IDF over its "
+        "distinct terms (common-language docs score low, "
+        "unusual-vocabulary docs high).  Composes the same cross-doc "
+        "aggregate as tfidf_terms; idf is the ln-free BM25 form so both "
+        "engines agree bit-for-bit (ln() rounding is libm-dependent; a "
+        "real perplexity would need an agreed log table).  The idf "
+        "vocabulary is Heaps-sublinear, so at 100 TB the term join "
+        "broadcasts the vocab or shuffles thin (term, idf) pairs — "
+        "document text never moves; per-doc aggregation is map-side "
+        "combined.  idf is quantized to int64 (floor(idf*10^4)) before "
+        "summing, as b8's scorer does, so the per-doc sum is exact "
+        "integer math — order-independent across partitionings and "
+        "engines (a raw SUM(double) varies with reduction order)",
+)
+def quality_rarity(spark, sf_dir):
+    w = (t(spark, sf_dir, "documents")
+         .select("doc_id", F.expr(WORDS_S).alias("words"))
+         .filter(F.size("words") > 0))
+    terms = w.select("doc_id", F.explode(F.array_distinct("words")).alias("term"))
+    tot = t(spark, sf_dir, "documents", spread=False).count()
+    dfreq = terms.groupBy("term").agg(F.count("*").alias("n_df"))
+    idf = dfreq.select(
+        "term",
+        F.floor(((F.lit(float(tot)) - F.col("n_df").cast("double") + F.lit(0.5))
+                 / (F.col("n_df").cast("double") + F.lit(0.5))) * 10000)
+         .cast("bigint").alias("q_idf"))
+    agg = (terms.join(F.broadcast(idf), "term")
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("n_distinct_terms"),
+                F.sum("q_idf").cast("bigint").alias("sum_q")))
+    return agg.select(
+        "doc_id", "n_distinct_terms",
+        (F.col("sum_q").cast("double") / 10000.0).alias("sum_idf"),
+        (F.col("sum_q").cast("double") / 10000.0
+         / F.col("n_distinct_terms").cast("double")).alias("mean_idf"),
+        (F.col("sum_q") * 10 > 2 * 100000 * F.col("n_distinct_terms"))
+        .alias("is_rare"))
