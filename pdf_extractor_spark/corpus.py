@@ -2263,3 +2263,31 @@ def quality_rarity(spark, sf_dir):
          / F.col("n_distinct_terms").cast("double")).alias("mean_idf"),
         (F.col("sum_q") * 10 > 2 * 100000 * F.col("n_distinct_terms"))
         .alias("is_rare"))
+
+
+@register(
+    "multimodal_frames",
+    sql="""
+    SELECT doc_id,
+           'media://' || md5(text) AS media_ref,
+           CAST(u.k AS INT) AS frame_idx,
+           CAST(1000 * u.k AS BIGINT) AS ts_ms,
+           sha256('frame|' || u.k || '|' || text) AS frame_sha
+    FROM documents, unnest(range(0, 4)) AS u(k)
+    WHERE doc_id % 3 = 2
+    """,
+    doc="video frame sampling plumbing, gate-checked end to end: the "
+        "Arrow-batched frame_sample operator (operators/multimodal.py — "
+        "row-expanding 1→n map, shuffle-free, real schema/batching; the "
+        "decode is the documented deterministic sha256 fake since no "
+        "codecs ship in this sandbox) emits 4 evenly-spaced frames per "
+        "video blob, and the fake is reproduced in DuckDB SQL so frame "
+        "bytes (as sha hex), timestamps, and media refs are value-hashed "
+        "cross-engine — no rows-only hole",
+)
+def multimodal_frames(spark, sf_dir):
+    from .operators.multimodal import documents_as_media, frame_sample
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    fr = frame_sample(documents_as_media(docs), n_frames=4)
+    return fr.select("doc_id", "media_ref", "frame_idx", "ts_ms",
+                     F.lower(F.hex("frame")).alias("frame_sha"))
