@@ -2291,3 +2291,34 @@ def multimodal_frames(spark, sf_dir):
     fr = frame_sample(documents_as_media(docs), n_frames=4)
     return fr.select("doc_id", "media_ref", "frame_idx", "ts_ms",
                      F.lower(F.hex("frame")).alias("frame_sha"))
+
+
+@register(
+    "multimodal_resize",
+    sql="""
+    SELECT doc_id,
+           'media://' || md5(text) AS media_ref,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_kind,
+           CAST(32 AS INT) AS target_w, CAST(32 AS INT) AS target_h,
+           CAST(1024 AS INT) AS thumb_bytes,
+           md5(substring(repeat(sha256('resize|32|32|' || text), 32), 1, 2048))
+             AS thumb_md5
+    FROM documents
+    """,
+    doc="image/audio resize plumbing, gate-checked end to end: the "
+        "Arrow-batched media_resize operator (operators/multimodal.py — "
+        "real schema/batching/map-side-only plan; deterministic "
+        "digest-expansion fake standing in for the absent codecs) emits "
+        "32x32 thumbnails, and the fake is reproduced in DuckDB SQL in "
+        "the hex domain (sha256 repeat + slice), so thumbnail bytes are "
+        "value-hashed cross-engine via md5-of-hex",
+)
+def multimodal_resize(spark, sf_dir):
+    from .operators.multimodal import documents_as_media, media_resize
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    rs = media_resize(documents_as_media(docs), width=32, height=32)
+    return rs.select("doc_id", "media_ref", "media_kind",
+                     "target_w", "target_h",
+                     F.length("thumb").cast("int").alias("thumb_bytes"),
+                     F.md5(F.lower(F.hex("thumb"))).alias("thumb_md5"))
