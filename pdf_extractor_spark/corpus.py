@@ -2322,3 +2322,127 @@ def multimodal_resize(spark, sf_dir):
                      "target_w", "target_h",
                      F.length("thumb").cast("int").alias("thumb_bytes"),
                      F.md5(F.lower(F.hex("thumb"))).alias("thumb_md5"))
+
+
+# ---------------------------------------------------------------------------
+# Event-time operators: as-of join + gap sessionization
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_asof_join",
+    sql="""
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_ts
+      FROM events)
+    SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+           p.last_click_ts,
+           c.event_id AS click_id,
+           CAST(date_diff('microsecond', p.last_click_ts, p.ts) // 1000
+                AS BIGINT) AS ms_since_click
+    FROM tagged p
+    JOIN events c
+      ON c.user_id = p.user_id AND c.ts = p.last_click_ts
+     AND c.event_type = 'click'
+    WHERE p.event_type = 'purchase' AND p.last_click_ts IS NOT NULL
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY p.event_id
+                               ORDER BY c.event_id DESC) = 1
+    """,
+    doc="ASOF join, the time-series operator Spark lacks natively: each "
+        "purchase pairs with the user's most recent STRICTLY-PRIOR click. "
+        "Expressed as a running MAX(click ts) window over the per-user "
+        "event-time order (frame ends at 1 PRECEDING, so a same-timestamp "
+        "click never matches itself forward) + one equi-join back on "
+        "(user, ts) to fetch the click row, max event_id disambiguating "
+        "same-timestamp clicks.  Shuffles only on user_id — the window "
+        "and the join co-locate on one key, no range join, no broadcast "
+        "of the big side; per-user skew is bounded by the busiest single "
+        "user exactly as any sessionful analysis is",
+)
+def events_asof_join(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    wp = (W.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(W.unboundedPreceding, -1))
+    tagged = e.withColumn(
+        "last_click_ts",
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(wp))
+    p = (tagged.filter((F.col("event_type") == "purchase")
+                       & F.col("last_click_ts").isNotNull())
+         .select("user_id", F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("purchase_ts"), "last_click_ts"))
+    c = (e.filter(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("cu"), F.col("ts").alias("ct"),
+                 F.col("event_id").alias("click_id")))
+    wdup = W.partitionBy("purchase_id").orderBy(F.desc("click_id"))
+    return (p.join(c, (F.col("cu") == F.col("user_id"))
+                   & (F.col("ct") == F.col("last_click_ts")))
+            .withColumn("rn", F.row_number().over(wdup)).filter("rn = 1")
+            .select("user_id", "purchase_id", "purchase_ts", "last_click_ts",
+                    "click_id",
+                    # exact integer microseconds (a double subtraction of
+                    # fractional seconds is off by 1 ms at micro precision);
+                    # TIMESTAMP_NTZ needs the timestamp hop first (session
+                    # tz pinned UTC)
+                    F.expr("(unix_micros(cast(purchase_ts as timestamp)) "
+                           "- unix_micros(cast(last_click_ts as timestamp))) "
+                           "div 1000").cast("bigint").alias("ms_since_click")))
+
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "events_sessionize",
+    sql=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events),
+    sess AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_no
+      FROM ordered)
+    SELECT user_id, session_no, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+             AS duration_s
+    FROM sess GROUP BY user_id, session_no
+    """,
+    doc=f"gap-based sessionization ({SESSION_GAP_MIN}-minute inactivity "
+        "splits a user's stream): LAG flags session starts, a running SUM "
+        "numbers them (gaps-and-islands), one groupBy rolls sessions up. "
+        "Both windows and the aggregate share the user_id partitioning — "
+        "one shuffle total, sessions never span partitions, and the "
+        "streaming twin is session_window() in streaming/ with the same "
+        "semantics",
+)
+def events_sessionize(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.withColumn(
+        "is_start",
+        F.when(F.col("ts").cast("timestamp").cast("long")
+               - F.lag("ts").over(wo).cast("timestamp").cast("long")
+               > SESSION_GAP_MIN * 60, 1)
+         .when(F.lag("ts").over(wo).isNull(), 1).otherwise(0))
+    sess = ordered.withColumn(
+        "session_no",
+        F.sum("is_start").over(wo.rowsBetween(W.unboundedPreceding, 0))
+         .cast("bigint"))
+    return (sess.groupBy("user_id", "session_no")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 (F.max("ts").cast("timestamp").cast("long")
+                  - F.min("ts").cast("timestamp").cast("long"))
+                 .cast("bigint").alias("duration_s")))
