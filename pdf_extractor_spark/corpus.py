@@ -2423,8 +2423,8 @@ SESSION_GAP_MIN = 30
         "numbers them (gaps-and-islands), one groupBy rolls sessions up. "
         "Both windows and the aggregate share the user_id partitioning — "
         "one shuffle total, sessions never span partitions, and the "
-        "streaming twin is session_window() in streaming/ with the same "
-        "semantics",
+        "streaming twin is streaming/sessions.py (native session_window, "
+        "append mode emits only closed sessions; interval parity pytest)",
 )
 def events_sessionize(spark, sf_dir):
     e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")

@@ -290,3 +290,56 @@ def test_streaming_dedup_index_growth_and_exactly_once(spark, tmp_path):
     signed = {d for d, t in texts.items() if len(_py_words(t)) >= 3}
     assert idx_ids == {d for d, (isd, _) in got.items()
                        if not isd and d in signed}
+
+
+def test_streaming_sessions_match_batch_rollup(spark, tmp_path):
+    """session_window sessions (streaming, append mode) carry exactly the
+    intervals and event counts of the batch gaps-and-islands rollup
+    (events_sessionize) for every session the watermark has closed."""
+    import datetime as dt
+
+    from pdf_extractor_spark.corpus import events_sessionize
+    from pdf_extractor_spark.streaming.sessions import streaming_sessions
+
+    inp = tmp_path / "events"
+    inp.mkdir()
+    base = dt.datetime(2026, 2, 1, 9, 0, 0)
+    M = lambda m: base + dt.timedelta(minutes=m)
+    # user 1: two sessions (gap 45 > 30 splits); user 2: one session;
+    # plus a far-future sentinel event per user that (a) advances the
+    # watermark past every real session and (b) stays OPEN itself
+    rows = [
+        (1, M(0), 1), (2, M(10), 1), (3, M(20), 1),     # u1 session A
+        (4, M(65), 1), (5, M(70), 1),                   # u1 session B
+        (6, M(5), 2), (7, M(25), 2),                    # u2 session A
+        (8, M(3000), 1), (9, M(3000), 2),               # sentinels
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["click"] * len(rows), pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+    }), str(inp / "b1.parquet"))
+
+    out = tmp_path / "out"
+    q = (streaming_sessions(spark, str(inp))
+         .writeStream.format("parquet").option("path", str(out))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events)
+           for r in spark.read.parquet(str(out)).collect()}
+
+    # batch twin over the same parquet dir (events_sessionize reads
+    # {sf_dir}/events.parquet — point a shim dir at our file)
+    shim = tmp_path / "shim"
+    shim.mkdir()
+    (shim / "events.parquet").symlink_to(inp / "b1.parquet")
+    batch = {(r.user_id, r.session_start, r.session_end, r.n_events)
+             for r in events_sessionize(spark, str(shim)).collect()}
+    # the sentinel sessions are still open in streaming (never emitted);
+    # every CLOSED streaming session must equal its batch rollup row
+    sentinels = {b for b in batch if b[1] == M(3000)}
+    assert got == batch - sentinels
+    assert len(got) == 3
