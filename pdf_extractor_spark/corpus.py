@@ -2394,14 +2394,17 @@ def events_asof_join(spark, sf_dir):
 SESSION_GAP_MIN = 30
 
 
+_GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
+
+
 @register(
     "events_sessionize",
     sql=f"""
     WITH ordered AS (
       SELECT user_id, event_id, ts,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id)
-                       > INTERVAL {SESSION_GAP_MIN} MINUTE
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id))
+                       > {_GAP_US}
                   OR LAG(ts) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_start
@@ -2414,27 +2417,39 @@ SESSION_GAP_MIN = 30
       FROM ordered)
     SELECT user_id, session_no, CAST(COUNT(*) AS BIGINT) AS n_events,
            MIN(ts) AS session_start, MAX(ts) AS session_end,
-           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+           CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT)
              AS duration_s
     FROM sess GROUP BY user_id, session_no
     """,
     doc=f"gap-based sessionization ({SESSION_GAP_MIN}-minute inactivity "
         "splits a user's stream): LAG flags session starts, a running SUM "
         "numbers them (gaps-and-islands), one groupBy rolls sessions up. "
-        "Both windows and the aggregate share the user_id partitioning — "
-        "one shuffle total, sessions never span partitions, and the "
-        "streaming twin is streaming/sessions.py (native session_window, "
-        "append mode emits only closed sessions; interval parity pytest)",
+        "Gap compares EXACT integer microseconds (unix_micros / epoch_us — "
+        "a whole-second truncation would mis-split gaps within 1 s of the "
+        "threshold) and the boundary is OPEN (only gap > 30 min starts a "
+        "new session), pinned to MEASURED Spark session_window semantics: "
+        "an event arriving exactly at session_end still merges (touching "
+        "windows coalesce).  Both windows and the aggregate share the "
+        "user_id partitioning — one shuffle total, sessions never span "
+        "partitions, and the streaming twin is streaming/sessions.py "
+        "(native session_window, append mode emits only closed sessions; "
+        "interval parity pytest includes an exactly-at-gap fixture)",
 )
 def events_sessionize(spark, sf_dir):
     e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     wo = W.partitionBy("user_id").orderBy("ts", "event_id")
-    ordered = e.withColumn(
-        "is_start",
-        F.when(F.col("ts").cast("timestamp").cast("long")
-               - F.lag("ts").over(wo).cast("timestamp").cast("long")
-               > SESSION_GAP_MIN * 60, 1)
-         .when(F.lag("ts").over(wo).isNull(), 1).otherwise(0))
+    # exact integer microseconds, as events_asof_join does (ADVICE r2):
+    # cast->long truncates to whole seconds and a gap in (1799,1801) s
+    # could split in one engine but not the other
+    ordered = (
+        e.withColumn("prev_ts", F.lag("ts").over(wo))
+        .withColumn(
+            "is_start",
+            F.when(F.col("prev_ts").isNull(), 1)
+             .when(F.expr("unix_micros(cast(ts as timestamp)) "
+                          "- unix_micros(cast(prev_ts as timestamp))")
+                   > _GAP_US, 1)
+             .otherwise(0)))
     sess = ordered.withColumn(
         "session_no",
         F.sum("is_start").over(wo.rowsBetween(W.unboundedPreceding, 0))
@@ -2443,6 +2458,6 @@ def events_sessionize(spark, sf_dir):
             .agg(F.count("*").alias("n_events"),
                  F.min("ts").alias("session_start"),
                  F.max("ts").alias("session_end"),
-                 (F.max("ts").cast("timestamp").cast("long")
-                  - F.min("ts").cast("timestamp").cast("long"))
+                 F.expr("(unix_micros(cast(max(ts) as timestamp)) "
+                        "- unix_micros(cast(min(ts) as timestamp))) div 1000000")
                  .cast("bigint").alias("duration_s")))

@@ -159,7 +159,11 @@ def run_extraction(
 
     # post-write validation pass (1A/validate_outputs.py analog): appended
     # as its own lineage status so failures surface durably, not silently.
-    # Column reuse: doc_count = docs checked, parse_failures = violations.
+    # Column reuse: doc_count = docs checked, parse_failures = violations,
+    # wall_ms = run sequence (epoch ms at validation time) — a partition is
+    # only re-validated when it is re-extracted, so the LATEST validation
+    # row per partition is the truth about the data currently on disk.
+    run_seq = int(time.time() * 1000)
     vstats = validate_extracted(newly)
     validation = (
         vstats.select(
@@ -168,18 +172,27 @@ def run_extraction(
             F.col("docs_checked").cast("long").alias("doc_count"),
             F.lit(0).cast("long").alias("span_count"),
             F.col("violations").cast("long").alias("parse_failures"),
-            F.lit(0).cast("long").alias("wall_ms"),
+            F.lit(run_seq).cast("long").alias("wall_ms"),
             F.when(F.col("violations") > 0, "validation_failed")
              .otherwise("validated").alias("status"),
         ))
     catalog.append(validation, lin_loc)
-    # THIS run's violations only (scoped by snapshot) — earlier runs'
-    # validation_failed rows stay durably in lineage but must not flag a
-    # later clean re-run of the same output dir
+    # DURABLE violations for this output dir: a resumed run skips committed
+    # partitions and never re-validates them, so an earlier run's
+    # validation_failed partition must keep flagging until its data is
+    # actually re-extracted and re-validated clean (ADVICE r2).  Latest
+    # validation row per partition wins (wall_ms run sequence; ties —
+    # e.g. pre-fix rows with wall_ms=0 — resolve to the failed row,
+    # surfacing conservatively).
+    from pyspark.sql import Window
+    wv = Window.partitionBy("partition_id").orderBy(
+        F.desc("wall_ms"),
+        F.desc((F.col("status") == "validation_failed").cast("int")))
     violations_total = int(
         spark.read.parquet(lin_loc)
-        .filter((F.col("status") == "validation_failed")
-                & (F.col("source_snapshot") == snapshot))
+        .filter(F.col("status").isin("validated", "validation_failed"))
+        .withColumn("rn", F.row_number().over(wv)).filter("rn = 1")
+        .filter(F.col("status") == "validation_failed")
         .agg(F.sum("parse_failures")).collect()[0][0] or 0)
 
     stats = (spark.read.parquet(lin_loc).filter(F.col("status") == "committed")

@@ -14,6 +14,13 @@ Session identity note: a batch re-run numbers sessions 1..k per user
 (start, end) interval instead — stable under restarts, no global per-user
 counter.  tests/test_streaming.py asserts the INTERVALS agree exactly
 with the batch operator's rollup.
+
+Boundary semantics (MEASURED, pinned by the parity test): an event
+arriving EXACTLY at session_end (= last_event + gap) still merges —
+session_window coalesces touching windows.  The batch twin
+(corpus.events_sessionize) therefore splits only on gap > 30 min
+(open boundary), compared in exact integer microseconds; the parity
+test pins this with exactly-at-gap and gap±1µs fixtures.
 """
 
 from __future__ import annotations

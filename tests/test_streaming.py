@@ -306,13 +306,24 @@ def test_streaming_sessions_match_batch_rollup(spark, tmp_path):
     base = dt.datetime(2026, 2, 1, 9, 0, 0)
     M = lambda m: base + dt.timedelta(minutes=m)
     # user 1: two sessions (gap 45 > 30 splits); user 2: one session;
-    # plus a far-future sentinel event per user that (a) advances the
-    # watermark past every real session and (b) stays OPEN itself
+    # user 3: gap of EXACTLY 30 min — measured session_window semantics
+    # MERGE the touching windows (open boundary: only gap > 30 splits),
+    # so both engines must keep it one session; user 4: 30 min minus 1µs
+    # — one session; user 5: 30 min plus 1µs — SPLITS, and pins the
+    # exact-microsecond comparison (whole-second truncation reads this
+    # gap as exactly 1800 s and would wrongly merge); plus a far-future
+    # sentinel event per user that (a) advances the watermark past every
+    # real session and (b) stays OPEN itself
+    us1 = dt.timedelta(microseconds=1)
     rows = [
         (1, M(0), 1), (2, M(10), 1), (3, M(20), 1),     # u1 session A
         (4, M(65), 1), (5, M(70), 1),                   # u1 session B
         (6, M(5), 2), (7, M(25), 2),                    # u2 session A
+        (10, M(0), 3), (11, M(30), 3),                  # u3: exact-gap merge
+        (12, M(0), 4), (13, M(30) - us1, 4),            # u4: one session
+        (16, M(0), 5), (17, M(30) + us1, 5),            # u5: splits
         (8, M(3000), 1), (9, M(3000), 2),               # sentinels
+        (14, M(3000), 3), (15, M(3000), 4), (18, M(3000), 5),
     ]
     pq.write_table(pa.table({
         "event_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -342,4 +353,8 @@ def test_streaming_sessions_match_batch_rollup(spark, tmp_path):
     # every CLOSED streaming session must equal its batch rollup row
     sentinels = {b for b in batch if b[1] == M(3000)}
     assert got == batch - sentinels
-    assert len(got) == 3
+    # u1 x2, u2 x1, u3 x1 (exact-gap merges), u4 x1, u5 x2 (gap+1µs splits)
+    assert len(got) == 7
+    assert {(u, n) for u, _, _, n in got if u == 3} == {(3, 2)}
+    assert {(u, n) for u, _, _, n in got if u == 4} == {(4, 2)}
+    assert {(u, n) for u, _, _, n in got if u == 5} == {(5, 1)}

@@ -64,6 +64,34 @@ class TestValidateExtracted:
         assert self.check(spark, rows) == (2, 2)
 
 
+def test_resumed_run_keeps_durable_violation(spark, corpus_path,
+                                             tmp_path_factory):
+    """A validation_failed partition from an earlier run must keep flagging
+    in later resumed runs: committed partitions are never re-extracted or
+    re-validated, so the durable violation cannot silently drop to 0
+    (ADVICE r2).  Latest validation row per partition wins."""
+    import time
+
+    out = str(tmp_path_factory.mktemp("vdur"))
+    m1 = pipeline.run_extraction(spark, corpus_path, out, num_partitions=7)
+    assert m1["validation_violations"] == 0
+    # simulate an earlier run that committed a partition whose validation
+    # FAILED: append a later-sequenced validation_failed row for part 0
+    bad = spark.createDataFrame(
+        [("snap-old", 0, 5, 0, 3, int(time.time() * 1000) + 1000,
+          "validation_failed")],
+        schema="source_snapshot string, partition_id int, doc_count long, "
+               "span_count long, parse_failures long, wall_ms long, "
+               "status string")
+    bad.write.mode("append").parquet(f"{out}/{pipeline.LINEAGE_SUBDIR}")
+    # resumed run: nothing pending, nothing re-validated — the durable
+    # violation must still be reported (old code scoped to the current
+    # snapshot and read 0 here)
+    m2 = pipeline.run_extraction(spark, corpus_path, out, num_partitions=7)
+    assert m2["skipped_committed"] == m1["committed_partitions"]
+    assert m2["validation_violations"] == 3
+
+
 def test_pipeline_run_validates_green(spark, corpus_path, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("vrun"))
     m = pipeline.run_extraction(spark, corpus_path, out, num_partitions=7)
