@@ -1193,12 +1193,14 @@ def _kmeans_sql_iter(it: int) -> str:
     """,
     doc="IVF-ANN with LEARNED centroids: deterministic k-means (seed = the "
         f"{K_IVF} lowest corpus vec_ids, 2 unrolled Lloyd iterations — "
-        "assign via broadcast cross join + argmax window, means via "
-        "posexplode avg), then probe the 2 nearest learned cells per query "
-        "and exact-cosine top-5 inside them.  Replaces ann_ivf_probe's "
-        "label-as-centroid shortcut with the production construction; "
-        "search cost still scales with the probed fraction, training is "
-        "O(iters * K * n) map-side",
+        "assign via broadcast cross join + map-side max_by argmax "
+        "(shuffles n rows, not n·K), means via per-dimension avg "
+        "aggregates over the intact array (no posexplode)), then probe "
+        "the 2 nearest learned cells per query and exact-cosine top-5 "
+        "inside them.  Replaces ann_ivf_probe's label-as-centroid "
+        "shortcut with the production construction; search cost still "
+        "scales with the probed fraction, training is O(iters * K * n) "
+        "map-side with only n-row exchanges",
 )
 def ann_ivf_kmeans(spark, sf_dir):
     e = (t(spark, sf_dir, "embeddings")
@@ -1209,27 +1211,41 @@ def ann_ivf_kmeans(spark, sf_dir):
              .select((F.col("vec_id") - 3).alias("cell"),
                      F.expr("transform(qv, x -> CAST(x AS DOUBLE))").alias("cv")))
     def assign_to(cents_df):
-        wa = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+        # per-vector argmax as a MAP-SIDE-COMBINABLE aggregate: max_by over
+        # the ordering struct (ccos desc, cell asc via negation) collapses
+        # the n·K scored rows to n rows inside each scan task, so only n
+        # (vec_id, cell) rows ever cross the exchange — the r2 form sorted
+        # all n·K rows through a row_number window partitioned by vec_id,
+        # 8x the necessary shuffle volume, three times per query.  The
+        # ordering struct is unique per (vec, cell), so the argmax is
+        # deterministic and identical to the window form.
         step = (data.crossJoin(F.broadcast(cents_df))
                 .withColumn("ccos", F.expr(f"{_CDOT_S} / {_CNRM_S}"))
-                .withColumn("rn", F.row_number().over(wa))
-                .filter("rn = 1").select("vec_id", "cell"))
+                .groupBy("vec_id")
+                .agg(F.max_by(
+                    "cell", F.struct(F.col("ccos").alias("c"),
+                                     (-F.col("cell")).alias("nc")))
+                    .alias("cell")))
         # assignments feed multiple consumers (centroid update, or the
         # retrieval legs) — materialize per round or the lloyd iteration
         # lineage re-runs the crossJoin per reference
         return _materialize(_persist(step, fresh=False))
 
     for _ in range(2):
-        dims = (assign_to(cents).join(data, "vec_id")
-                .select("cell", F.posexplode("qv").alias("dim0", "val"))
-                .groupBy("cell", "dim0").agg(F.avg("val").alias("cval")))
+        # per-cell means as EMB_DIM scalar avg aggregates over the intact
+        # array column — no posexplode (the r2 form shuffled n·64 rows just
+        # to average); each avg partial-aggregates map-side, so the
+        # exchange carries K·64 sums per map partition.  avg over the
+        # int64-quantized values is exact (partial sums are integers well
+        # below 2^53), hence order-independent and oracle-stable.
+        joined = assign_to(cents).join(data, "vec_id")
+        avgs = joined.groupBy("cell").agg(
+            *[F.avg(F.col("qv")[i]).alias(f"c{i}") for i in range(EMB_DIM)])
         # cents is consumed exactly once per round (next assignment, or the
         # final probe), so unlike the assignments it needs no materialize —
         # its lineage is cut by the persisted assignment it reads from
-        cents = (dims.groupBy("cell")
-                 .agg(F.transform(
-                     F.array_sort(F.collect_list(F.struct("dim0", "cval"))),
-                     lambda s: s["cval"]).alias("cv")))
+        cents = avgs.select(
+            "cell", F.array(*[f"c{i}" for i in range(EMB_DIM)]).alias("cv"))
     # FINAL assignment against the FINAL centroids: the probe below ranks
     # cells by cent2 geometry, so the stored cell membership must use the
     # same centroids — retrieving via the last training assignment (built
