@@ -2376,7 +2376,10 @@ def multimodal_resize(spark, sf_dir):
         "same-timestamp clicks.  Shuffles only on user_id — the window "
         "and the join co-locate on one key, no range join, no broadcast "
         "of the big side; per-user skew is bounded by the busiest single "
-        "user exactly as any sessionful analysis is",
+        "user exactly as any sessionful analysis is.  The REUSABLE form "
+        "of this construction is operators/asof.py:asof_join(left, right, "
+        "on, order, right_id, strict=...) — any event-type pair, strict "
+        "or at-or-before boundary, inner or left (tests/test_asof.py)",
 )
 def events_asof_join(spark, sf_dir):
     e = t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")

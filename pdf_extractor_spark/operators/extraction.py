@@ -20,8 +20,10 @@ Design notes for 10^12-document scale (BASELINE.json north_rule):
   window / driver collect is involved, so the scheme costs the same at
   10^12 docs as at 10^3.
 * **Bounded batches.** ``spark.sql.execution.arrow.maxRecordsPerBatch``
-  (session.py) caps docs per Arrow batch, bounding executor memory even
-  for jumbo partitions.
+  (session.py) caps docs per Arrow batch, and the output assembler
+  additionally flushes every ``MAX_BATCH_SPANS`` cumulative input spans,
+  so executor memory stays bounded even when a 10^6-span pathological
+  doc lands in a batch with 63 siblings.
 * **No per-row Python UDFs** (input_hint mandate): the per-doc heuristics
   run inside the Arrow-batched iterator, sharing
   :mod:`pdf_extractor_spark.core` verbatim with the oracle.
@@ -47,6 +49,16 @@ OUTPUT_SCHEMA = (
 
 JUMBO_SPANS = 2000          # input spans; above this a doc is "jumbo"
 DEFAULT_DOCS_PER_PARTITION = 512
+
+# Output-batch assembly cap in CUMULATIVE INPUT SPANS: the Arrow row cap
+# (session.py ARROW_MAX_RECORDS=64) bounds docs per incoming batch, but 64
+# rows of a pathological 10^6-span doc each would still buffer ~64M spans
+# in the output columns before a single yield.  Flushing the assembled
+# output every MAX_BATCH_SPANS input spans bounds the builder's memory by
+# max(MAX_BATCH_SPANS, largest single doc) regardless of row count — a
+# 64-doc batch of normal (<2000-span) docs never splits, so the hot path
+# is unchanged.
+MAX_BATCH_SPANS = 131_072
 
 
 def num_partitions_for(n_docs: int, cores: int) -> int:
@@ -106,44 +118,61 @@ def _extract_batches_arrow(it):
         ("spans", pa.list_(span_t)), ("n_spans", pa.int32()),
         ("parse_failures", pa.int32()), ("proc_us", pa.int64()),
     ])
+    buf: dict = {}
+
+    def _reset():
+        buf.update(doc_ids=[], part_ids=[], kinds=[], texts=[], refs=[],
+                   offs=[], list_offsets=[0], n_spans=[], fails=[], procs=[],
+                   in_spans=0)
+
+    def _flush():
+        struct_arr = pa.StructArray.from_arrays(
+            [pa.array(buf["kinds"], pa.string()),
+             pa.array(buf["texts"], pa.string()),
+             pa.array(buf["refs"], pa.string()),
+             pa.array(buf["offs"], pa.int32())],
+            fields=list(span_t))
+        spans_arr = pa.ListArray.from_arrays(
+            pa.array(buf["list_offsets"], pa.int32()), struct_arr)
+        rb = pa.RecordBatch.from_arrays(
+            [pa.array(buf["doc_ids"], pa.string()),
+             pa.array(buf["part_ids"], pa.int32()),
+             spans_arr,
+             pa.array(buf["n_spans"], pa.int32()),
+             pa.array(buf["fails"], pa.int32()),
+             pa.array(buf["procs"], pa.int64())],
+            schema=out_schema)
+        _reset()
+        return rb
+
+    _reset()
     for batch in it:
         doc_ids = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
         part_ids = batch.column(batch.schema.get_field_index("part_id")).to_pylist()
         spans_in = batch.column(batch.schema.get_field_index("spans")).to_pylist()
-        kinds: list[str] = []
-        texts: list[str] = []
-        refs: list[str] = []
-        offs: list[int] = []
-        list_offsets = [0]
-        n_spans: list[int] = []
-        fails: list[int] = []
-        procs: list[int] = []
-        for spans in spans_in:
+        for doc_id, part_id, spans in zip(doc_ids, part_ids, spans_in):
+            # span-budget flush BEFORE admitting the next doc: a jumbo doc
+            # never shares the output buffer with a full batch of siblings
+            if buf["doc_ids"] and buf["in_spans"] + len(spans) > MAX_BATCH_SPANS:
+                yield _flush()
             t0 = time.perf_counter_ns()
             out_spans, failures = extract_document(spans)
-            procs.append((time.perf_counter_ns() - t0) // 1000)
+            buf["procs"].append((time.perf_counter_ns() - t0) // 1000)
             for s in out_spans:
-                kinds.append(s["kind"])
-                texts.append(s["text"])
-                refs.append(s["media_ref"])
-                offs.append(s["offset"])
-            list_offsets.append(len(kinds))
-            n_spans.append(len(out_spans))
-            fails.append(failures)
-        struct_arr = pa.StructArray.from_arrays(
-            [pa.array(kinds, pa.string()), pa.array(texts, pa.string()),
-             pa.array(refs, pa.string()), pa.array(offs, pa.int32())],
-            fields=list(span_t))
-        spans_arr = pa.ListArray.from_arrays(pa.array(list_offsets, pa.int32()),
-                                             struct_arr)
-        yield pa.RecordBatch.from_arrays(
-            [pa.array(doc_ids, pa.string()),
-             pa.array(part_ids, pa.int32()),
-             spans_arr,
-             pa.array(n_spans, pa.int32()),
-             pa.array(fails, pa.int32()),
-             pa.array(procs, pa.int64())],
-            schema=out_schema)
+                buf["kinds"].append(s["kind"])
+                buf["texts"].append(s["text"])
+                buf["refs"].append(s["media_ref"])
+                buf["offs"].append(s["offset"])
+            buf["list_offsets"].append(len(buf["kinds"]))
+            buf["n_spans"].append(len(out_spans))
+            buf["fails"].append(failures)
+            buf["doc_ids"].append(doc_id)
+            buf["part_ids"].append(int(part_id))
+            buf["in_spans"] += len(spans)
+        # one output batch per input batch boundary (plus any intra-batch
+        # budget flushes above) — keeps the pipelined shape of the r2 loop
+        if buf["doc_ids"]:
+            yield _flush()
 
 
 def extract_operator(df: DataFrame, num_partitions: int | None = None) -> DataFrame:

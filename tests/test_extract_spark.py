@@ -82,3 +82,59 @@ class TestEndToEnd:
         df = extract_operator(spark.read.parquet(corpus_path), 8)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan  # no per-row Python UDF
+
+
+class TestSpanBudgetFlush:
+    """The Arrow output assembler flushes on cumulative INPUT span count
+    (MAX_BATCH_SPANS), so a batch of jumbo docs can never buffer an
+    unbounded output column set — and splitting changes no values."""
+
+    @staticmethod
+    def _mk_batch(docs):
+        import pyarrow as pa
+        span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                            ("media_ref", pa.string()), ("offset", pa.int32())])
+        return pa.RecordBatch.from_arrays(
+            [pa.array([d for d, _ in docs], pa.string()),
+             pa.array([0] * len(docs), pa.int32()),
+             pa.array([s for _, s in docs], pa.list_(span_t))],
+            names=["doc_id", "part_id", "spans"])
+
+    @staticmethod
+    def _jumbo(doc_id, n):
+        spans = [{"kind": "line", "text": "Title Of Doc" if i == 0
+                  else f"body text number {i} with words",
+                  "media_ref": "", "offset": i} for i in range(n)]
+        return (doc_id, spans)
+
+    def test_batches_bounded_and_lossless(self, monkeypatch):
+        from pdf_extractor_spark.operators import extraction
+
+        docs = [self._jumbo(f"j{i}", 600) for i in range(8)]
+        batch = self._mk_batch(docs)
+
+        # unsplit reference (cap far above the fixture)
+        ref = list(extraction._extract_batches_arrow(iter([batch])))
+        assert len(ref) == 1
+
+        monkeypatch.setattr(extraction, "MAX_BATCH_SPANS", 1000)
+        got = list(extraction._extract_batches_arrow(iter([batch])))
+        # 600-span docs against a 1000-span budget -> one doc per flush
+        assert len(got) == 8
+        for rb in got:
+            assert sum(rb.column("n_spans").to_pylist()) <= 1000
+        # concatenation is value-identical to the unsplit run (proc_us is
+        # a timing, excluded)
+        import pyarrow as pa
+        cols = ["doc_id", "part_id", "spans", "n_spans", "parse_failures"]
+        a = pa.Table.from_batches(ref).select(cols).to_pylist()
+        b = pa.Table.from_batches(got).select(cols).to_pylist()
+        assert a == b
+
+    def test_single_doc_over_budget_still_emits(self, monkeypatch):
+        from pdf_extractor_spark.operators import extraction
+        monkeypatch.setattr(extraction, "MAX_BATCH_SPANS", 100)
+        batch = self._mk_batch([self._jumbo("big", 5000), self._jumbo("b2", 50)])
+        got = list(extraction._extract_batches_arrow(iter([batch])))
+        assert [rb.num_rows for rb in got] == [1, 1]
+        assert got[0].column("doc_id").to_pylist() == ["big"]
