@@ -210,18 +210,25 @@ def k2_maxby_tiebreak(spark, sf_dir):
 # Window / ordered-adjacency operators (SURVEY §2.5)
 # ---------------------------------------------------------------------------
 
-@register(
-    "w2_next_gap",
-    sql="""
+# W2/W4/U1/U2/TT1/W3 ship as legs of the battery_micro_ops registry entry
+# (windowed.py): the driver's correctness file records the first 50
+# registry names only, so the micro-analog operators are folded into
+# combined entries (scorer_battery-style) to keep EVERY SURVEY §2
+# operator's oracle inside a checked row.  The functions and their
+# oracle SQL are unchanged — the battery unions them with aligned casts.
+
+W2_SQL = """
     SELECT user_id, event_id, gap_s FROM (
       SELECT user_id, event_id,
              DATEDIFF('second', ts,
                       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
       FROM events) WHERE gap_s > 600
-    """,
-    doc="W2 colon-heading lookahead analog: lead() vertical-gap predicate (extractor.py:117-121)",
-)
+    """
+
+
 def w2_next_gap(spark, sf_dir):
+    """W2 colon-heading lookahead analog: lead() vertical-gap predicate
+    (extractor.py:117-121)."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         t(spark, sf_dir, "events")
@@ -232,18 +239,17 @@ def w2_next_gap(spark, sf_dir):
     )
 
 
-@register(
-    "w4_top3_per_page",
-    sql="""
+W4_SQL = """
     SELECT user_id, day, event_id FROM (
       SELECT user_id, CAST(ts AS DATE) AS day, event_id,
              ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
                                 ORDER BY ts, event_id) AS rn
       FROM events) WHERE rn <= 3
-    """,
-    doc="T2/W4 first-3-lines-per-page projection (extractor.py:254-284)",
-)
+    """
+
+
 def w4_top3_per_page(spark, sf_dir):
+    """T2/W4 first-3-lines-per-page projection (extractor.py:254-284)."""
     e = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     w = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
     return (e.withColumn("rn", F.row_number().over(w))
@@ -396,9 +402,7 @@ def a1_font_distribution(spark, sf_dir):
 KEYWORDS = ("spark", "window", "join", "order", "batch")
 
 
-@register(
-    "u2_word_overlap",
-    sql=f"""
+U2_SQL = f"""
     WITH w AS (
       SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS words FROM documents)
     SELECT doc_id,
@@ -407,10 +411,12 @@ KEYWORDS = ("spark", "window", "join", "order", "batch")
            (len(list_filter(words, x -> x IN {KEYWORDS!r})) * 10
               >= 8 * len(words)) AND len(words) >= 3 AS is_dup
     FROM w
-    """.replace("'", "'"),
-    doc="U2/F6 word-set intersection ratio >= 0.8 with >= 3 words (extractor.py:861-871)",
-)
+    """
+
+
 def u2_word_overlap(spark, sf_dir):
+    """U2/F6 word-set intersection ratio >= 0.8 with >= 3 words
+    (extractor.py:861-871)."""
     kw = F.array(*[F.lit(k) for k in KEYWORDS])
     d = (t(spark, sf_dir, "documents")
          .withColumn("words", F.array_distinct(F.split(F.trim("text"), " "))))
@@ -483,15 +489,14 @@ def scorer_battery(spark, sf_dir):
     return b.select("doc_id", score.alias("score"), (score >= 4).alias("is_heading"))
 
 
-@register(
-    "u1_distinct_keys",
-    sql="""
+U1_SQL = """
     SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
     FROM events GROUP BY event_type
-    """,
-    doc="U1 distinct key sets (extractor.py:288,319)",
-)
+    """
+
+
 def u1_distinct_keys(spark, sf_dir):
+    """U1 distinct key sets (extractor.py:288,319)."""
     return (t(spark, sf_dir, "events").groupBy("event_type")
             .agg(F.countDistinct("user_id").alias("n_users"),
                  F.count("*").alias("n_events")))

@@ -14,6 +14,9 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .plans.selection import CHUNK_STRIDE, CHUNK_WORDS
+# module import (not from-import): windowed.py is imported at the BOTTOM of
+# queries.py, after the battery leg functions/SQL it references are defined
+from . import queries
 from .queries import register, t
 
 # shared chunking fragments (Spark + DuckDB dialects), parameterized on the
@@ -32,9 +35,7 @@ CHUNK_SLICE_S = f"slice(words, chunk_idx * {CHUNK_STRIDE} + 1, {CHUNK_WORDS})"
 
 
 
-@register(
-    "w3_consecutive_merge",
-    sql="""
+W3_SQL = """
     WITH base AS (
       SELECT user_id, event_id, event_type, value, ts,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS idx
@@ -74,13 +75,14 @@ CHUNK_SLICE_S = f"slice(words, chunk_idx * {CHUNK_STRIDE} + 1, {CHUNK_WORDS})"
                 ELSE CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) END AS merged_value,
            CASE WHEN merge_eff THEN next_event_id ELSE NULL END AS absorbed_event_id
     FROM final WHERE NOT consumed
-    """,
-    doc="W3 consecutive-merge (extractor.py:574-626) as a relational plan: "
-        "lead() merge predicate, gaps-and-islands parity for the greedy "
-        "one-lookahead no-chain rule, lag() consume flag — window shuffles "
-        "only, no per-row Python",
-)
+    """
+
+
 def w3_consecutive_merge(spark, sf_dir):
+    """W3 consecutive-merge (extractor.py:574-626) as a relational plan:
+    lead() merge predicate, gaps-and-islands parity for the greedy
+    one-lookahead no-chain rule, lag() consume flag — window shuffles
+    only, no per-row Python.  Registry leg of battery_micro_ops."""
     e = t(spark, sf_dir, "events")
     wo = W.partitionBy("user_id").orderBy("ts", "event_id")
     base = e.withColumn("idx", F.row_number().over(wo))
@@ -314,9 +316,7 @@ def b7_diversity_topk(spark, sf_dir):
             .select("source", "importance_rank", "doc_id", "lead_word", "n_chars"))
 
 
-@register(
-    "tt1_title_candidates",
-    sql="""
+TT1_SQL = """
     WITH w AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
       FROM documents),
@@ -333,12 +333,14 @@ def b7_diversity_topk(spark, sf_dir):
     SELECT doc_id, MIN(blk_idx) AS title_blk,
            MIN_BY(btext, blk_idx) AS title_text
     FROM cand GROUP BY doc_id
-    """,
-    doc="TT1 title candidate generation (extractor.py:515-546): first-10-"
-        "block gate, keyword / position / length predicates, first match "
-        "wins via min_by — the in-pipeline version runs in core/pdfheur",
-)
+    """
+
+
 def tt1_title_candidates(spark, sf_dir):
+    """TT1 title candidate generation (extractor.py:515-546): first-10-
+    block gate, keyword / position / length predicates, first match wins
+    via min_by — the in-pipeline version runs in core/pdfheur.  Registry
+    leg of battery_micro_ops."""
     w = (t(spark, sf_dir, "documents")
          .select("doc_id",
                  F.expr("filter(split(text, ' '), x -> x <> '')").alias("words")))
@@ -501,3 +503,84 @@ def html_density_classify(spark, sf_dir):
         F.sum(F.when(is_content, 1).otherwise(0)).alias("n_content"),
         F.sum(F.when(is_content, F.col("n_chars")).otherwise(0)).alias("body_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# battery_micro_ops: U1/U2/W2/W4/TT1/W3 folded into ONE oracle-checked entry
+# ---------------------------------------------------------------------------
+
+_NS, _NB, _ND, _NF = ("CAST(NULL AS VARCHAR)", "CAST(NULL AS BIGINT)",
+                      "CAST(NULL AS DOUBLE)", "CAST(NULL AS BOOLEAN)")
+
+
+def _leg_sql(probe, src, k1=_NS, k2=_NS, txt=_NS, v1=_NB, v2=_NB,
+             vd=_ND, flag=_NF):
+    return (f"SELECT '{probe}' AS probe, {k1} AS k1, {k2} AS k2, "
+            f"{txt} AS txt, CAST({v1} AS BIGINT) AS v1, "
+            f"CAST({v2} AS BIGINT) AS v2, CAST({vd} AS DOUBLE) AS vd, "
+            f"CAST({flag} AS BOOLEAN) AS flag FROM ({src}) q")
+
+
+_BATTERY_MICRO_SQL = "\nUNION ALL\n".join([
+    _leg_sql("u1", queries.U1_SQL, k1="event_type",
+             v1="n_users", v2="n_events"),
+    _leg_sql("u2", queries.U2_SQL, k1="CAST(doc_id AS VARCHAR)",
+             v1="n_common", v2="n_words", flag="is_dup"),
+    _leg_sql("w2", queries.W2_SQL, k1="CAST(user_id AS VARCHAR)",
+             k2="CAST(event_id AS VARCHAR)", v1="gap_s"),
+    _leg_sql("w4", queries.W4_SQL, k1="CAST(user_id AS VARCHAR)",
+             k2="CAST(day AS VARCHAR)", v1="event_id"),
+    _leg_sql("tt1", TT1_SQL, k1="CAST(doc_id AS VARCHAR)",
+             txt="title_text", v1="title_blk"),
+    _leg_sql("w3", W3_SQL, k1="CAST(user_id AS VARCHAR)",
+             k2="CAST(event_id AS VARCHAR)", txt="event_type",
+             v1="absorbed_event_id", vd="merged_value"),
+])
+
+
+def _leg_spark(probe, df, k1=None, k2=None, txt=None, v1=None, v2=None,
+               vd=None, flag=None):
+    c = lambda col, typ: (F.col(col).cast(typ) if col
+                          else F.lit(None).cast(typ))
+    return df.select(
+        F.lit(probe).alias("probe"),
+        c(k1, "string").alias("k1"), c(k2, "string").alias("k2"),
+        c(txt, "string").alias("txt"), c(v1, "bigint").alias("v1"),
+        c(v2, "bigint").alias("v2"), c(vd, "double").alias("vd"),
+        c(flag, "boolean").alias("flag"))
+
+
+@register(
+    "battery_micro_ops",
+    sql=_BATTERY_MICRO_SQL,
+    doc="combined oracle entry for six micro-analog operators (SURVEY §2 "
+        "ids U1 distinct keys, U2/F6 word-set overlap, W2 lookahead gap, "
+        "T2/W4 per-page top-3, TT1 title candidates, W3 consecutive "
+        "merge).  Each leg is the UNCHANGED standalone operator (same "
+        "plan, same oracle SQL) projected onto a shared union schema with "
+        "explicit casts, scorer_battery-style, so all six stay inside the "
+        "driver's 50-entry correctness file.  Functions remain individually "
+        "callable: queries.u1_distinct_keys/u2_word_overlap/w2_next_gap/"
+        "w4_top3_per_page, windowed.tt1_title_candidates/"
+        "w3_consecutive_merge",
+)
+def battery_micro_ops(spark, sf_dir):
+    legs = [
+        _leg_spark("u1", queries.u1_distinct_keys(spark, sf_dir),
+                   k1="event_type", v1="n_users", v2="n_events"),
+        _leg_spark("u2", queries.u2_word_overlap(spark, sf_dir),
+                   k1="doc_id", v1="n_common", v2="n_words", flag="is_dup"),
+        _leg_spark("w2", queries.w2_next_gap(spark, sf_dir),
+                   k1="user_id", k2="event_id", v1="gap_s"),
+        _leg_spark("w4", queries.w4_top3_per_page(spark, sf_dir),
+                   k1="user_id", k2="day", v1="event_id"),
+        _leg_spark("tt1", tt1_title_candidates(spark, sf_dir),
+                   k1="doc_id", txt="title_text", v1="title_blk"),
+        _leg_spark("w3", w3_consecutive_merge(spark, sf_dir),
+                   k1="user_id", k2="event_id", txt="event_type",
+                   v1="absorbed_event_id", vd="merged_value"),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
