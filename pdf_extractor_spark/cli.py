@@ -88,7 +88,9 @@ def _run_selection(spark, input_path: str, config_path: str, out_path: str,
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pdf_extractor_spark")
-    ap.add_argument("--input", required=True, help="documents table (parquet path or Iceberg name)")
+    ap.add_argument("--input", default=None,
+                    help="documents table (parquet path or Iceberg name); "
+                         "required except in --grade mode")
     ap.add_argument("--output", required=True, help="run directory (extracted/ + lineage/)")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
@@ -109,7 +111,41 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--timestamp", default="1970-01-01T00:00:00",
                     help="processing_timestamp stamped into selection records "
                          "(explicit for reproducible outputs)")
+    ap.add_argument("--golden", default=None,
+                    help="golden challenge1b record JSON; with --config, the "
+                         "produced records are graded against it "
+                         "(validation_report.json shape, 1B regression "
+                         "scorer) and the report lands at "
+                         "<output>.validation.json.  With --grade, grades "
+                         "an existing record file instead (no Spark).")
+    ap.add_argument("--grade", default=None,
+                    help="existing generated record JSON to grade against "
+                         "--golden; report printed to stdout and written "
+                         "to --output (pure Python, no Spark session)")
     args = ap.parse_args(argv)
+
+    # --- grading-only mode: no Spark session needed ------------------------
+    if args.grade:
+        if not args.golden:
+            ap.error("--grade requires --golden")
+        from .plans.grading import grade_report
+        with open(args.grade) as fh:
+            generated = json.load(fh)
+        with open(args.golden) as fh:
+            expected = json.load(fh)
+        report = grade_report(generated, expected)
+        with open(args.output, "w") as fh:
+            json.dump(report, fh, indent=2, sort_keys=True)
+        print(json.dumps({
+            "mode": "grade", "collections": len(report),
+            "scores": {k: round(v["overall_score"], 2)
+                       for k, v in report.items()},
+            "grades": {k: v["grade"] for k, v in report.items()},
+            "report": args.output}))
+        return 0
+
+    if not args.input:
+        ap.error("--input is required except in --grade mode")
 
     from .session import get_spark
     spark = get_spark("pdf_extractor_spark.cli", master=args.master)
@@ -117,6 +153,19 @@ def main(argv: list[str] | None = None) -> int:
     if args.config:
         metrics = _run_selection(spark, args.input, args.config, args.output,
                                  args.timestamp)
+        if args.golden:
+            from .plans.grading import grade_report
+            with open(args.output) as fh:
+                generated = json.load(fh)
+            with open(args.golden) as fh:
+                expected = json.load(fh)
+            report = grade_report(generated, expected)
+            rpath = f"{args.output}.validation.json"
+            with open(rpath, "w") as fh:
+                json.dump(report, fh, indent=2, sort_keys=True)
+            metrics["validation_report"] = rpath
+            metrics["validation_scores"] = {
+                k: round(v["overall_score"], 2) for k, v in report.items()}
         print(json.dumps(metrics))
         return 0
 

@@ -49,16 +49,29 @@ def write_partitioned(df: DataFrame, location: str, partition_cols: list[str],
     df.write.mode(mode).partitionBy(*partition_cols).parquet(location)
 
 
-def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 16) -> None:
+def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 16,
+                   path: str | None = None) -> None:
     """Persist a table bucketed+sorted on ``key`` so repeated joins/aggs on
     that key are co-located — no exchange at read time (the brief's
     "bucketing for co-located joins" lever; Iceberg's equivalent is a
     ``bucket(N, key)`` partition transform).  At 100 TB this is the right
     storage layout for any table joined on its key more than once: the
-    shuffle is paid once at write, never per query."""
-    (df.write.mode("overwrite")
-     .bucketBy(n_buckets, key).sortBy(key)
-     .format("parquet").saveAsTable(table))
+    shuffle is paid once at write, never per query.
+
+    ``path`` makes it an external table at that location: the data files
+    outlive the (in-memory) catalog entry, so a later session can still
+    ``spark.read.parquet(path)`` them even though the bucketing METADATA
+    is session-scoped without a persistent metastore."""
+    w = (df.write.mode("overwrite")
+         .bucketBy(n_buckets, key).sortBy(key)
+         .format("parquet"))
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def drop_table(spark: SparkSession, table: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
 def append(df: DataFrame, location: str) -> None:

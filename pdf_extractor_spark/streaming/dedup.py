@@ -17,27 +17,50 @@ Exactly-once mechanics:
   made idempotent by landing in a ``batch_id=N`` partition directory with
   overwrite semantics — a replayed batch overwrites its own output
   instead of appending duplicates.
-* The index a batch probes is every ``batch_id < N`` partition, which is
-  exactly the set committed before this batch first ran.
+* The index a batch probes is every row committed with ``batch_id < N``
+  — exactly the set durable before this batch first ran.
+
+Index COMPACTION (bounded probe locations): without it, batch N probes
+N−1 ``batch_id=*`` directories — unbounded small files, cumulative
+O(N²) file opens at steady state.  Every ``compact_every`` batches the
+accumulated tail partitions are rewritten into ONE compacted generation:
+
+* ``catalog.write_bucketed`` lands two external tables under
+  ``{state}/compacted/upto={N}/`` — ``bands`` (exploded, bucketed by
+  ``band_hash``: the probe's join key, so with a persistent metastore
+  the index side of the band join is pre-shuffled) and ``sigs``
+  (bucketed by ``doc_id`` for the verify lookup).  Rows keep their
+  ``batch_id`` so a replaying batch can still exclude its own rows.
+* Generations are crash-safe: the new generation is written to a NEW
+  directory, then the ``_compacted.json`` marker flips to it, and only
+  then are the folded tail partitions and the previous generation
+  removed.  A crash anywhere replays batch N against a consistent
+  marker.
+* Steady-state probe cost: 1 compacted generation + < ``compact_every``
+  tail directories, REGARDLESS of total batch count
+  (tests/test_streaming.py asserts both the bound and decision parity
+  with an uncompacted run).
 
 Decision semantics (deterministic): a doc is a duplicate iff some INDEXED
 doc, or some smaller-``doc_id`` doc in the same micro-batch, has shingle
 Jaccard >= t with it; ``dup_of`` is the smallest such doc_id.  Chains
 (a ~ b ~ c without a ~ c) are left to the offline ``dedup_components``
 pass, as in the batch path.
-
-At deploy scale the index partitions would be bucketed by ``band_hash``
-so the probe join co-locates without shuffling the index; here the index
-is small enough that Spark broadcasts or shuffles it per batch.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import (ArrayType, LongType, StringType, StructField,
-                               StructType)
+from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
+                               StructField, StructType)
 
 from ..corpus import MINHASH_LSH_SIG_S, WORDS_S
+from ..sources import catalog
 
 INPUT_SCHEMA = StructType([
     StructField("doc_id", LongType()),
@@ -50,6 +73,15 @@ _SIG_SCHEMA = StructType([
     StructField("bands", ArrayType(StringType())),
 ])
 
+_BANDS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("band_idx", IntegerType()),
+    StructField("band_hash", StringType()),
+])
+
+DEFAULT_COMPACT_EVERY = 8
+_N_BUCKETS = 16
+
 
 def _signatures(docs: DataFrame) -> DataFrame:
     return (docs.filter(F.expr(f"size({WORDS_S}) >= 3"))
@@ -57,29 +89,33 @@ def _signatures(docs: DataFrame) -> DataFrame:
             .select("doc_id", "sig.*"))
 
 
-def _verified_pairs(new_sigs: DataFrame, index_sigs: DataFrame,
-                    threshold_pct: int, ordered: bool = False) -> DataFrame:
+def _explode_bands(sigs: DataFrame) -> DataFrame:
+    return sigs.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_hash"))
+
+
+def _verified_pairs(new_sigs: DataFrame, ix_bands: DataFrame,
+                    ix_sigs: DataFrame, threshold_pct: int,
+                    ordered: bool = False) -> DataFrame:
     """(new_doc, dup_of) pairs with exact shingle Jaccard >= t, candidates
-    blocked by band-key equality (never all-pairs).  ``ordered=True`` (the
+    blocked by band-key equality (never all-pairs).  The index side
+    arrives pre-exploded (compacted store layout).  ``ordered=True`` (the
     within-batch self-join) keeps only index_doc < new_doc AT CANDIDATE
     TIME — verifying both orientations of every pair and discarding half
     afterwards would double the expensive verify-join work."""
-    bx = new_sigs.select("doc_id",
-                         F.posexplode("bands").alias("band_idx", "band_hash"))
-    ix = index_sigs.select("doc_id",
-                          F.posexplode("bands").alias("band_idx", "band_hash"))
+    bx = _explode_bands(new_sigs)
     pair_cond = (F.col("i.doc_id") < F.col("b.doc_id")) if ordered \
         else (F.col("b.doc_id") != F.col("i.doc_id"))
     cand = (bx.alias("b")
-            .join(ix.alias("i"), ["band_idx", "band_hash"])
+            .join(ix_bands.alias("i"), ["band_idx", "band_hash"])
             .filter(pair_cond)
             .select(F.col("b.doc_id").alias("new_doc"),
                     F.col("i.doc_id").alias("index_doc"))
             .distinct())
     sb = new_sigs.select(F.col("doc_id").alias("new_doc"),
                          F.col("shset").alias("sb"))
-    si = index_sigs.select(F.col("doc_id").alias("index_doc"),
-                           F.col("shset").alias("si"))
+    si = ix_sigs.select(F.col("doc_id").alias("index_doc"),
+                        F.col("shset").alias("si"))
     n_inter = F.size(F.array_intersect("sb", "si"))
     n_union = F.size("sb") + F.size("si") - n_inter
     return (cand.join(sb, "new_doc").join(si, "index_doc")
@@ -87,28 +123,138 @@ def _verified_pairs(new_sigs: DataFrame, index_sigs: DataFrame,
             .select("new_doc", "index_doc"))
 
 
-def _process_batch(batch_df: DataFrame, batch_id: int, state_dir: str,
-                   threshold_pct: int) -> None:
-    from pyspark.errors import AnalysisException
+# --- compacted-store plumbing ------------------------------------------------
 
+def _marker_path(state_dir: str) -> str:
+    return f"{state_dir}/_compacted.json"
+
+
+def _read_marker(state_dir: str) -> dict | None:
+    try:
+        with open(_marker_path(state_dir)) as fh:
+            return json.load(fh)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def _tail_batch_dirs(state_dir: str, lo_exclusive: int,
+                     hi_exclusive: int) -> list[tuple[int, str]]:
+    """Tail index partitions with lo < batch_id < hi, by DIRECT directory
+    listing — never a recursive scan of the whole index tree."""
+    root = f"{state_dir}/index"
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        if not name.startswith("batch_id="):
+            continue
+        b = int(name.split("=", 1)[1])
+        if lo_exclusive < b < hi_exclusive:
+            out.append((b, f"{root}/{name}"))
+    return sorted(out)
+
+
+def _load_index(spark: SparkSession, state_dir: str,
+                batch_id: int) -> tuple[DataFrame, DataFrame, int]:
+    """(exploded band index, signature lookup, n_locations) covering every
+    row committed with batch_id < ``batch_id``.  n_locations counts the
+    physical places probed: <=1 compacted generation (+its 2 tables) and
+    < compact_every tail dirs — bounded regardless of total batch count."""
+    marker = _read_marker(state_dir)
+    upto = marker["upto"] if marker else -1
+    bands = spark.createDataFrame([], _BANDS_SCHEMA)
+    sigs = spark.createDataFrame([], _SIG_SCHEMA).select("doc_id", "shset")
+    n_loc = 0
+    if marker:
+        # batch_id guards: <= upto (ignore a half-written newer generation)
+        # and < current (a replayed batch must not see its own rows)
+        cb = (spark.read.parquet(marker["bands_path"])
+              .filter((F.col("batch_id") <= upto)
+                      & (F.col("batch_id") < batch_id))
+              .select("doc_id", "band_idx", "band_hash"))
+        cs = (spark.read.parquet(marker["sigs_path"])
+              .filter((F.col("batch_id") <= upto)
+                      & (F.col("batch_id") < batch_id))
+              .select("doc_id", "shset"))
+        bands, sigs = bands.unionByName(cb), sigs.unionByName(cs)
+        n_loc += 2
+    tail = _tail_batch_dirs(state_dir, upto, batch_id)
+    if tail:
+        tdf = spark.read.parquet(*[p for _, p in tail])
+        bands = bands.unionByName(_explode_bands(tdf))
+        sigs = sigs.unionByName(tdf.select("doc_id", "shset"))
+        n_loc += len(tail)
+    return bands, sigs, n_loc
+
+
+def _table_name(state_dir: str, upto: int, which: str) -> str:
+    h = hashlib.md5(state_dir.encode()).hexdigest()[:10]
+    return f"dedup_idx_{h}_u{upto}_{which}"
+
+
+def _compact(spark: SparkSession, state_dir: str, batch_id: int) -> None:
+    """Fold compacted(old) ∪ tail(<= batch_id) into generation
+    upto=batch_id.  Write-new → flip marker → delete-old, so every crash
+    point replays consistently."""
+    marker = _read_marker(state_dir)
+    old_upto = marker["upto"] if marker else -1
+    gen_dir = f"{state_dir}/compacted/upto={batch_id}"
+    # gather all sig rows <= batch_id WITH their batch_id (basePath read
+    # recovers the partition column from the tail dirs)
+    parts = [p for _, p in _tail_batch_dirs(state_dir, old_upto, batch_id + 1)]
+    srcs = []
+    if marker:
+        srcs.append(spark.read.parquet(marker["sigs_path"])
+                    .filter(F.col("batch_id") <= old_upto)
+                    .select("doc_id", "shset", "bands", "batch_id"))
+    if parts:
+        srcs.append(spark.read.option("basePath", f"{state_dir}/index")
+                    .parquet(*parts)
+                    .select("doc_id", "shset", "bands",
+                            F.col("batch_id").cast("long").alias("batch_id")))
+    if not srcs:
+        return
+    allsigs = srcs[0]
+    for s in srcs[1:]:
+        allsigs = allsigs.unionByName(s)
+    bands = (allsigs.select(
+        "doc_id", "batch_id",
+        F.posexplode("bands").alias("band_idx", "band_hash")))
+    catalog.write_bucketed(bands, _table_name(state_dir, batch_id, "bands"),
+                           "band_hash", _N_BUCKETS, path=f"{gen_dir}/bands")
+    # sigs keep their bands array too: the NEXT compaction re-folds this
+    # generation and must be able to rebuild the exploded band table
+    catalog.write_bucketed(
+        allsigs.select("doc_id", "shset", "bands", "batch_id"),
+        _table_name(state_dir, batch_id, "sigs"),
+        "doc_id", _N_BUCKETS, path=f"{gen_dir}/sigs")
+    # marker flip = commit point
+    tmp = _marker_path(state_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"upto": batch_id,
+                   "bands_path": f"{gen_dir}/bands",
+                   "sigs_path": f"{gen_dir}/sigs"}, fh)
+    os.replace(tmp, _marker_path(state_dir))
+    # fold-source cleanup (safe: the new generation is durable)
+    for _, p in _tail_batch_dirs(state_dir, -1, batch_id + 1):
+        shutil.rmtree(p, ignore_errors=True)
+    if marker:
+        old_gen = os.path.dirname(marker["bands_path"])
+        if os.path.realpath(old_gen) != os.path.realpath(gen_dir):
+            shutil.rmtree(old_gen, ignore_errors=True)
+        for which in ("bands", "sigs"):
+            catalog.drop_table(spark, _table_name(state_dir, old_upto, which))
+
+
+def _process_batch(batch_df: DataFrame, batch_id: int, state_dir: str,
+                   threshold_pct: int, compact_every: int | None) -> None:
     spark = batch_df.sparkSession
     sigs = _signatures(batch_df.select("doc_id", "text")).persist()
-    try:
-        index = (spark.read
-                 .option("basePath", f"{state_dir}/index")
-                 .parquet(f"{state_dir}/index")
-                 .filter(F.col("batch_id") < batch_id)
-                 .select("doc_id", "shset", "bands"))
-        index.schema  # force resolution inside the try
-    except AnalysisException:  # first batch: no index yet.  ONLY the
-        # missing-path error may fall through to "empty index" — a
-        # transient read failure must fail the batch (and be retried by
-        # the stream) rather than silently commit every cross-batch
-        # duplicate as an original
-        index = spark.createDataFrame([], _SIG_SCHEMA)
+    ix_bands, ix_sigs, _ = _load_index(spark, state_dir, batch_id)
 
-    vs_index = _verified_pairs(sigs, index, threshold_pct)
-    vs_batch = _verified_pairs(sigs, sigs, threshold_pct, ordered=True)
+    vs_index = _verified_pairs(sigs, ix_bands, ix_sigs, threshold_pct)
+    vs_batch = _verified_pairs(sigs, _explode_bands(sigs), sigs,
+                               threshold_pct, ordered=True)
     dup_of = (vs_index.unionByName(vs_batch)
               .groupBy("new_doc")
               .agg(F.min("index_doc").alias("dup_of")))
@@ -128,6 +274,8 @@ def _process_batch(batch_df: DataFrame, batch_id: int, state_dir: str,
      .write.mode("overwrite")
      .parquet(f"{state_dir}/index/batch_id={batch_id}"))
     sigs.unpersist()
+    if compact_every and (batch_id + 1) % compact_every == 0:
+        _compact(spark, state_dir, batch_id)
 
 
 def streaming_dedup(
@@ -136,12 +284,16 @@ def streaming_dedup(
     state_dir: str,
     threshold_pct: int = 50,
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = DEFAULT_COMPACT_EVERY,
 ) -> None:
     """Dedupe all input files not yet seen by this checkpoint, then stop.
 
-    ``state_dir`` gets ``index/`` (the growing signature store, one
-    partition per micro-batch), ``decisions/`` (one row per ingested doc:
-    is_dup + dup_of), and ``_checkpoint/`` (file-source WAL).
+    ``state_dir`` gets ``index/`` (tail signature partitions, one per
+    micro-batch since the last compaction), ``compacted/`` (the bucketed
+    generation store + ``_compacted.json`` marker), ``decisions/`` (one
+    row per ingested doc: is_dup + dup_of), and ``_checkpoint/`` (file-
+    source WAL).  ``compact_every=None`` disables compaction (probe cost
+    then grows with batch count — test/debug only).
     """
     reader = spark.readStream.schema(INPUT_SCHEMA)
     if max_files_per_trigger is not None:
@@ -149,7 +301,8 @@ def streaming_dedup(
     docs = reader.parquet(input_location)
     q = (docs.writeStream
          .foreachBatch(lambda df, bid:
-                       _process_batch(df, bid, state_dir, threshold_pct))
+                       _process_batch(df, bid, state_dir, threshold_pct,
+                                      compact_every))
          .option("checkpointLocation", f"{state_dir}/_checkpoint")
          .trigger(availableNow=True)
          .start())

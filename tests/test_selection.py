@@ -233,6 +233,31 @@ class TestCliSelectionMode:
             assert rec["metadata"]["processing_timestamp"] == "2026-02-02T00:00:00"
             assert 1 <= len(rec["extracted_sections"]) <= 25
 
+    def test_end_to_end_with_golden_grading(self, tmp_path):
+        """--config + --golden: the run is graded against golden records
+        (1B validation_report shape) right after selection.  Golden = a
+        prior identical run -> every collection grades 100/A."""
+        cfg_path = tmp_path / "input.json"
+        cfg_path.write_text(json.dumps(CHALLENGE))
+        base = [sys.executable, "-m", "pdf_extractor_spark.cli",
+                "--input", f"{SF_DIR}/documents.parquet",
+                "--config", str(cfg_path), "--master", "local[4]",
+                "--timestamp", "2026-02-02T00:00:00"]
+        golden = tmp_path / "golden.json"
+        p1 = subprocess.run(base + ["--output", str(golden)],
+                            capture_output=True, text=True, timeout=240)
+        assert p1.returncode == 0, p1.stderr[-2000:]
+        out = tmp_path / "run2.json"
+        p2 = subprocess.run(base + ["--output", str(out),
+                                    "--golden", str(golden)],
+                            capture_output=True, text=True, timeout=240)
+        assert p2.returncode == 0, p2.stderr[-2000:]
+        metrics = json.loads(p2.stdout.strip().splitlines()[-1])
+        assert set(metrics["validation_scores"].values()) == {100.0}
+        report = json.loads(
+            (tmp_path / "run2.json.validation.json").read_text())
+        assert all(v["grade"] == "A - Excellent" for v in report.values())
+
 
 class TestSpansInputScoping:
     def _write_spans_with_source(self, path):

@@ -358,3 +358,72 @@ def test_streaming_sessions_match_batch_rollup(spark, tmp_path):
     assert {(u, n) for u, _, _, n in got if u == 3} == {(3, 2)}
     assert {(u, n) for u, _, _, n in got if u == 4} == {(4, 2)}
     assert {(u, n) for u, _, _, n in got if u == 5} == {(5, 1)}
+
+
+def test_streaming_dedup_compaction_bounded_and_parity(spark, tmp_path):
+    """Index compaction: (a) duplicate decisions are IDENTICAL with and
+    without compaction, including cross-batch dups whose index entry has
+    already been folded into the compacted generation; (b) the probe
+    reads a bounded number of locations regardless of batch count (1
+    generation + < compact_every tail dirs), and folded tail partitions /
+    superseded generations are physically removed."""
+    import os
+
+    import duckdb
+    from pdf_extractor_spark.streaming.dedup import (_load_index,
+                                                     _read_marker,
+                                                     streaming_dedup)
+
+    base = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet' "
+        "ORDER BY doc_id LIMIT 48").fetchall()
+    batches = [dict(base[i * 8:(i + 1) * 8]) for i in range(6)]
+    # cross-batch near-dups: batch i >= 2 carries a truncated copy of a
+    # batch i-2 doc — by then that doc's signature lives ONLY in the
+    # compacted store (compact_every=2), so a parity failure here means
+    # the compacted probe path is broken
+    for i in range(2, 6):
+        src_id, text = sorted(batches[i - 2].items())[0]
+        ws = _py_words(text)
+        batches[i][3000000 + i] = " ".join(ws[:len(ws) * 4 // 5])
+
+    def run(state, compact_every):
+        inp = tmp_path / f"in_{compact_every}"
+        inp.mkdir(exist_ok=True)
+        for i, b in enumerate(batches):
+            pq.write_table(pa.table({
+                "doc_id": pa.array(sorted(b), pa.int64()),
+                "text": pa.array([b[d] for d in sorted(b)], pa.string()),
+            }), str(inp / f"b{i}.parquet"))
+            streaming_dedup(spark, str(inp), str(state),
+                            compact_every=compact_every)
+        return {r.doc_id: (r.is_dup, r.dup_of)
+                for r in spark.read.parquet(f"{state}/decisions").collect()}
+
+    got_plain = run(tmp_path / "plain", None)
+    got_comp = run(tmp_path / "comp", 2)
+
+    # (a) decision parity: compacted == uncompacted == pure-python oracle
+    assert got_comp == got_plain
+    want = _expected_decisions(batches)
+    assert got_comp == {d: ((w is not None), w) for d, w in want.items()}
+    assert any(d >= 3000000 and isd for d, (isd, _) in got_comp.items())
+
+    # (b) bounded probe state: 6 batches (ids 0..5), compactions after
+    # batches 1/3/5 -> everything folded into generation upto=5, zero
+    # tail dirs, older generations gone
+    state = tmp_path / "comp"
+    marker = _read_marker(str(state))
+    assert marker and marker["upto"] == 5
+    tail = [n for n in os.listdir(f"{state}/index")
+            if n.startswith("batch_id=")] if os.path.isdir(
+        f"{state}/index") else []
+    assert tail == []
+    gens = os.listdir(f"{state}/compacted")
+    assert gens == ["upto=5"]
+    _, _, n_loc = _load_index(spark, str(state), 6)
+    assert n_loc == 2  # the generation's two tables, nothing else
+
+    # un-compacted twin: probe cost grew linearly instead (6 tail dirs)
+    _, _, n_plain = _load_index(spark, str(tmp_path / "plain"), 6)
+    assert n_plain == 6
