@@ -14,7 +14,8 @@ Fairness controls:
 * Identical ``--partitions`` (a multiple of both core counts) so the work
   units are the same; only the core count differs.
 * Throughput is the job's internal wall clock (run_extraction), excluding
-  JVM/session startup; best of ``--repeat`` runs per level.
+  JVM/session startup; graded as the MEDIAN efficiency over all
+  accumulated interleaved matched pairs (max reported as best-case only).
 
 Usage: python bench/scaling.py [--docs 10000] [--repeat 2]
 """
@@ -25,6 +26,7 @@ import argparse
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import time
@@ -183,6 +185,10 @@ def main(argv=None) -> int:
             (pair["spans_n"], pair["spans_xn"])
         pair["efficiency"] = round(pair["dps_xn"] / (factor * pair["dps_n"]), 3)
         pair["host_probe_speedup"] = round(pair["probe_xn"] / pair["probe_n"], 2)
+        # per-pair host calibration: job speedup / what the box itself
+        # delivered between the same two thread counts in this window
+        pair["eff_vs_host"] = round(
+            (pair["dps_xn"] / pair["dps_n"]) / pair["host_probe_speedup"], 3)
         reps.append(pair)
 
     # Grade on MATCHED PAIRS: each rep measures N then 4N back-to-back, so
@@ -208,24 +214,38 @@ def main(argv=None) -> int:
                 reps.append({**p, "rep": base_rep + i})
     except (FileNotFoundError, json.JSONDecodeError, KeyError):
         pass
+    for p in reps:  # backfill for pairs recorded before eff_vs_host existed
+        if "eff_vs_host" not in p:
+            p["eff_vs_host"] = round(
+                (p["dps_xn"] / p["dps_n"]) / p["host_probe_speedup"], 3)
+    # Gate and headline on the MEDIAN pair efficiency: the max over
+    # accumulated pairs can only be inflated by host noise (one lucky
+    # window would grant a permanent PASS), while the median is what the
+    # matched-pair methodology actually supports.  Best case is still
+    # reported, as best case.
+    eff = round(statistics.median(p["efficiency"] for p in reps), 3)
     best = max(reps, key=lambda p: p["efficiency"])
-    eff = best["efficiency"]
+    # representative pair for the headline table: the one nearest the median
+    rep_med = min(reps, key=lambda p: abs(p["efficiency"] - eff))
     summary = {
         "docs": args.docs, "partitions": args.partitions,
         "n_cores": n, "xn_cores": xn,
-        "docs_per_sec_n": best["dps_n"], "docs_per_sec_xn": best["dps_xn"],
-        "speedup": round(best["dps_xn"] / best["dps_n"], 2),
+        "docs_per_sec_n": rep_med["dps_n"], "docs_per_sec_xn": rep_med["dps_xn"],
+        "speedup": round(rep_med["dps_xn"] / rep_med["dps_n"], 2),
         "scaling_efficiency": eff,
+        "n_pairs": len(reps),
+        "best_efficiency": best["efficiency"], "best_rep": best["rep"],
+        "median_eff_vs_host": round(
+            statistics.median(p["eff_vs_host"] for p in reps), 3),
         "target": 0.8, "pass": eff >= 0.8,
-        "best_rep": best["rep"],
-        "wall_n": best["wall_n"], "wall_xn": best["wall_xn"],
-        "spans_n": best["spans_n"], "spans_xn": best["spans_xn"],
+        "median_rep": rep_med["rep"],
+        "wall_n": rep_med["wall_n"], "wall_xn": rep_med["wall_xn"],
+        "spans_n": rep_med["spans_n"], "spans_xn": rep_med["spans_xn"],
         "all_reps": reps,
         # what the HOST delivered between the same thread counts in the
-        # best rep's windows: the ceiling for ANY job's wall-clock speedup
-        "host_probe_speedup": best["host_probe_speedup"],
-        "efficiency_vs_host": round(
-            (best["dps_xn"] / best["dps_n"]) / best["host_probe_speedup"], 3),
+        # median rep's windows: the ceiling for ANY job's wall-clock speedup
+        "host_probe_speedup": rep_med["host_probe_speedup"],
+        "efficiency_vs_host": rep_med["eff_vs_host"],
         "spans_total": results[xn]["spans_total"],
         "parse_failures": results[xn]["parse_failures"],
     }
@@ -258,29 +278,38 @@ of 8 on this machine).
 | N = {n} cores | local[{n}] | {s['docs_per_sec_n']} | {s['wall_n']:.1f} | {s['spans_n']} | {s['parse_failures']} |
 | 4N = {xn} cores | local[{xn}] | {s['docs_per_sec_xn']} | {s['wall_xn']:.1f} | {s['spans_xn']} | {s['parse_failures']} |
 
-**Speedup {s['speedup']}× on 4× cores → scaling efficiency
+**MEDIAN scaling efficiency over {s['n_pairs']} matched pairs:
 {s['scaling_efficiency']} (target ≥ {s['target']}: {'PASS' if s['pass'] else 'FAIL'}).**
+Best pair: {s['best_efficiency']} (rep {s['best_rep']}).  Median
+host-calibrated efficiency (job speedup ÷ host-delivered speedup per
+pair): {s['median_eff_vs_host']}.
 
 Methodology: reps are INTERLEAVED (N, 4N, N, 4N, ...) and graded as
 matched pairs — each rep's N and 4N runs share one host-noise window.
 This sandbox VM's per-core throughput swings up to 2× between identical
 runs minutes apart (co-tenant/turbo physics), so mixing levels across
 windows would make the result an artifact of exogenous noise in either
-direction.  The table above is the best matched pair (rep
-{s['best_rep']}); every rep is reported verbatim:
+direction.  The gate is the **median pair efficiency** (the max could
+only be inflated by one lucky window; the median is what the matched-pair
+record supports).  The table above is the pair nearest the median (rep
+{s['median_rep']}); every measured pair — including the bad windows — is
+reported verbatim:
 
-| rep | N docs/s | 4N docs/s | efficiency | host-probe speedup {2*n}→{2*xn} threads |
-|---|---|---|---|---|
+| rep | N docs/s | 4N docs/s | efficiency | host-probe speedup {2*n}→{2*xn} threads | eff ÷ host |
+|---|---|---|---|---|---|
 """ + "".join(
         f"| {p['rep']} | {p['dps_n']} | {p['dps_xn']} | {p['efficiency']} "
-        f"| {p['host_probe_speedup']} |\n" for p in s["all_reps"]) + f"""
+        f"| {p['host_probe_speedup']} | {p['eff_vs_host']} |\n"
+        for p in s["all_reps"]) + f"""
 Host calibration (pure-python CPU burn, no Spark, run immediately before
-each level): in the best rep the box itself delivered
+each level): in the median rep the box itself delivered
 **{s['host_probe_speedup']}× throughput** going from {2*n} to {2*xn}
 busy processes (the job's thread pressure at each level) — the wall-clock
 speedup ceiling for ANY job in those windows.  Job speedup ÷
-host-delivered speedup = **{s['efficiency_vs_host']}** (the pipeline
-scales at least as well as the machine running it).
+host-delivered speedup = **{s['efficiency_vs_host']}** for that pair;
+the median of this calibrated ratio over all pairs is
+**{s['median_eff_vs_host']}** (≥ 1 means the pipeline scales at least as
+well as the machine running it).
 
 Correctness at both levels: identical span totals + the pytest gate
 (`tests/test_extract_spark.py`) asserts exact span-sequence equality
