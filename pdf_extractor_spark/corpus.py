@@ -1230,6 +1230,31 @@ def _kmeans_sql_iter(it: int) -> str:
       FROM dims{it} GROUP BY cell)"""
 
 
+def _assign_nearest(data, cents_df):
+    """Nearest-centroid assignment of every ``data`` vector (vec_id, qv)
+    to a broadcast centroid set (cell, cv), cosine with cell tie-break.
+
+    Per-vector argmax as a MAP-SIDE-COMBINABLE aggregate: max_by over
+    the ordering struct (ccos desc, cell asc via negation) collapses
+    the n·K scored rows to n rows inside each scan task, so only n
+    (vec_id, cell) rows ever cross the exchange — the r2 form sorted
+    all n·K rows through a row_number window partitioned by vec_id,
+    8x the necessary shuffle volume, three times per query.  The
+    ordering struct is unique per (vec, cell), so the argmax is
+    deterministic and identical to the window form.  Assignments feed
+    multiple consumers (centroid update, or the retrieval legs) —
+    materialized per round or the lloyd iteration lineage re-runs the
+    crossJoin per reference."""
+    step = (data.crossJoin(F.broadcast(cents_df))
+            .withColumn("ccos", F.expr(f"{_CDOT_S} / {_CNRM_S}"))
+            .groupBy("vec_id")
+            .agg(F.max_by(
+                "cell", F.struct(F.col("ccos").alias("c"),
+                                 (-F.col("cell")).alias("nc")))
+                .alias("cell")))
+    return _materialize(_persist(step, fresh=False))
+
+
 @register(
     "ann_ivf_kmeans",
     sql=f"""
@@ -1287,25 +1312,7 @@ def ann_ivf_kmeans(spark, sf_dir):
              .select((F.col("vec_id") - 3).alias("cell"),
                      F.expr("transform(qv, x -> CAST(x AS DOUBLE))").alias("cv")))
     def assign_to(cents_df):
-        # per-vector argmax as a MAP-SIDE-COMBINABLE aggregate: max_by over
-        # the ordering struct (ccos desc, cell asc via negation) collapses
-        # the n·K scored rows to n rows inside each scan task, so only n
-        # (vec_id, cell) rows ever cross the exchange — the r2 form sorted
-        # all n·K rows through a row_number window partitioned by vec_id,
-        # 8x the necessary shuffle volume, three times per query.  The
-        # ordering struct is unique per (vec, cell), so the argmax is
-        # deterministic and identical to the window form.
-        step = (data.crossJoin(F.broadcast(cents_df))
-                .withColumn("ccos", F.expr(f"{_CDOT_S} / {_CNRM_S}"))
-                .groupBy("vec_id")
-                .agg(F.max_by(
-                    "cell", F.struct(F.col("ccos").alias("c"),
-                                     (-F.col("cell")).alias("nc")))
-                    .alias("cell")))
-        # assignments feed multiple consumers (centroid update, or the
-        # retrieval legs) — materialize per round or the lloyd iteration
-        # lineage re-runs the crossJoin per reference
-        return _materialize(_persist(step, fresh=False))
+        return _assign_nearest(data, cents_df)
 
     for _ in range(2):
         # per-cell means as EMB_DIM scalar avg aggregates over the intact
@@ -1427,6 +1434,101 @@ def dedup_embedding_cosine(spark, sf_dir):
         .filter(F.col("cos_sim") >= 0.98)
         .select("vec_a", "vec_b", "cos_sim")
     )
+
+
+@register(
+    "dedup_semantic",
+    sql=f"""
+    WITH e AS (SELECT vec_id, {QUANT_D} AS qv FROM embeddings),
+    data AS (
+      SELECT vec_id, qv FROM e
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id,
+             list_transform(range(1, 65),
+               i -> CASE WHEN i <= 4
+                    THEN CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 * 0.95)
+                              AS BIGINT)
+                    ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+                    END) AS qv
+      FROM embeddings WHERE vec_id % 5 = 0),
+    cent0 AS (
+      SELECT vec_id AS cell, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
+      FROM e WHERE vec_id < {K_IVF}),
+    {_kmeans_sql_iter(0)},
+    {_kmeans_sql_assign(1)},
+    m AS (
+      SELECT a.cell, d.vec_id, d.qv,
+             (SELECT {NORM_D} FROM (SELECT d.qv AS q) x) AS nrm
+      FROM assign1 a JOIN data d ON d.vec_id = a.vec_id),
+    pairs AS (
+      SELECT a.cell, a.vec_id AS vec_a, y.vec_id AS vec_b,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> a.qv[i] * y.qv[i])) AS DOUBLE)
+               / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(y.nrm AS DOUBLE)))
+               AS cos_sim
+      FROM m a JOIN m y ON a.cell = y.cell AND a.vec_id < y.vec_id)
+    SELECT cell, vec_b AS pruned, MAX(cos_sim) AS max_sim
+    FROM pairs WHERE cos_sim >= 0.98
+    GROUP BY cell, vec_b
+    """,
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540): "
+        f"cluster embeddings with deterministic k-means (seed = the {K_IVF} "
+        "lowest vec_ids, 1 Lloyd iteration via the shared map-side max_by "
+        "assignment — n-row exchanges only), then prune WITHIN each cluster: "
+        "any pair with exact quantized cosine >= 0.98 drops the higher "
+        "vec_id (keep-first representative).  Working set = embeddings ∪ "
+        "slightly-perturbed copies (first 4 dims x 0.95) of vec_id%5==0.  "
+        "Unlike dedup_embedding_cosine's LSH banding, blocking here is the "
+        "LEARNED cluster structure, so near-dups that straddle an LSH "
+        "bucket boundary still meet.  Scale rule: K grows ~ n / "
+        "target_cell_size (the paper's regime) so intra-cell pair counts "
+        "stay linear — same derivation seam as emb_lsh_geometry; the "
+        "registry pins K at the sf default because the DuckDB oracle is a "
+        "static string.  One exchange by cluster id carries the vectors; "
+        "the pairing is a per-cell self-join inside that partitioning",
+)
+def dedup_semantic(spark, sf_dir):
+    e = (t(spark, sf_dir, "embeddings")
+         .select("vec_id", F.expr(QUANT_S).alias("qv"), "embedding"))
+    perturbed = F.expr(
+        "transform(sequence(1, 64), i -> CASE WHEN i <= 4 "
+        "THEN CAST(floor(CAST(element_at(embedding, i) AS DOUBLE) * 10000 * 0.95) AS BIGINT) "
+        "ELSE CAST(floor(CAST(element_at(embedding, i) AS DOUBLE) * 10000) AS BIGINT) END)")
+    data = (
+        e.select("vec_id", "qv")
+        .unionByName(
+            e.filter(F.col("vec_id") % 5 == 0)
+            .select((F.col("vec_id") + 100000).alias("vec_id"),
+                    perturbed.alias("qv")))
+    )
+    data = _persist(data)  # read K+2 times: lloyd legs + both pairing sides
+    cents = (e.filter(F.col("vec_id") < K_IVF)
+             .select(F.col("vec_id").alias("cell"),
+                     F.expr("transform(qv, x -> CAST(x AS DOUBLE))").alias("cv")))
+    # 1 Lloyd iteration: assign to seeds, recompute per-cell means (exact
+    # int64 avgs — order-independent, oracle-stable; see ann_ivf_kmeans)
+    joined = _assign_nearest(data, cents).join(data, "vec_id")
+    avgs = joined.groupBy("cell").agg(
+        *[F.avg(F.col("qv")[i]).alias(f"c{i}") for i in range(EMB_DIM)])
+    cents = avgs.select(
+        "cell", F.array(*[f"c{i}" for i in range(EMB_DIM)]).alias("cv"))
+    m = (_assign_nearest(data, cents).join(data, "vec_id")
+         .withColumn("nrm", F.expr(
+             "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")))
+    # fresh=False: m's lineage still reads data and both materialized
+    # assignments — draining them here would re-run every n·K crossJoin
+    m = _persist(m, fresh=False)  # both sides of the intra-cell self-join
+    a = m.select("cell", F.col("vec_id").alias("vec_a"),
+                 F.col("qv").alias("qa"), F.col("nrm").alias("na"))
+    y = m.select("cell", F.col("vec_id").alias("vec_b"),
+                 F.col("qv").alias("qb"), F.col("nrm").alias("nb"))
+    pairs = (a.join(y, "cell")
+             .filter(F.col("vec_a") < F.col("vec_b"))
+             .withColumn("dot", F.expr(DOT_S))
+             .withColumn("cos_sim", F.expr(COS))
+             .filter(F.col("cos_sim") >= 0.98))
+    return (pairs.groupBy("cell", F.col("vec_b").alias("pruned"))
+            .agg(F.max("cos_sim").alias("max_sim")))
 
 
 # ---------------------------------------------------------------------------

@@ -117,10 +117,11 @@ def test_b8_no_sort_merge_joins(spark):
 
 
 # Broadcast-tiny cross joins are the ONLY tolerated nested-loop joins:
-# 3 query vectors (ann_*), K centroids (ann_ivf_*), or a 1-row scalar
-# (corpus totals for corpus_mix / tfidf_terms and its b6/b8 consumers).
+# 3 query vectors (ann_*), K centroids (ann_ivf_* / dedup_semantic's
+# Lloyd assignment), or a 1-row scalar (corpus totals for corpus_mix /
+# tfidf_terms and its b6/b8 consumers).
 _BNLJ_OK = {"ann_topk_cosine", "ann_ivf_probe", "ann_ivf_kmeans",
-            "b6_multifactor_rank", "b8_selection_output",
+            "dedup_semantic", "b6_multifactor_rank", "b8_selection_output",
             "corpus_mix", "tfidf_terms"}
 
 
