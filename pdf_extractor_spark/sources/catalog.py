@@ -99,3 +99,43 @@ def read_manifest(location: str) -> dict | None:
         return None
     with open(p) as f:
         return json.load(f)
+
+
+# --- Hadoop FileSystem helpers ----------------------------------------------
+# Streaming state (index tails, compaction markers) must live on whatever
+# filesystem the cluster uses (HDFS, S3A, local).  Python os.* only sees the
+# driver's local disk, so state manipulation goes through the JVM's Hadoop
+# FileSystem API — the same resolver Spark's own reads/writes use, so any
+# path Spark can write, these can list/delete/touch.
+
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def fs_list_names(spark: SparkSession, dir_path: str) -> list[str]:
+    """Child entry names of ``dir_path`` (empty if it does not exist) —
+    a direct listing, never recursive."""
+    fs, p = _hadoop_fs(spark, dir_path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _hadoop_fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def fs_delete(spark: SparkSession, path: str) -> None:
+    fs, p = _hadoop_fs(spark, path)
+    fs.delete(p, True)
+
+
+def fs_touch(spark: SparkSession, path: str) -> None:
+    """Create an empty commit-flag file.  Existence (not content) is the
+    signal, so a crash mid-create can never yield a committed flag over
+    un-durable data — the flag is only created after the data writes."""
+    fs, p = _hadoop_fs(spark, path)
+    fs.create(p, True).close()

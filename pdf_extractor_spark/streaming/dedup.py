@@ -31,11 +31,19 @@ accumulated tail partitions are rewritten into ONE compacted generation:
   the index side of the band join is pre-shuffled) and ``sigs``
   (bucketed by ``doc_id`` for the verify lookup).  Rows keep their
   ``batch_id`` so a replaying batch can still exclude its own rows.
-* Generations are crash-safe: the new generation is written to a NEW
-  directory, then the ``_compacted.json`` marker flips to it, and only
-  then are the folded tail partitions and the previous generation
-  removed.  A crash anywhere replays batch N against a consistent
-  marker.
+* Generations are crash-safe AND replay-idempotent: the new generation
+  is written to a NEW directory, an empty ``_COMMITTED`` flag is
+  created inside it only after both tables are durable, and only then
+  are the folded tail partitions and older generations removed.
+  Readers take the highest committed ``upto=``; half-written
+  generations (no flag) are invisible.  A replayed batch whose
+  compaction already committed (``old_upto >= batch_id``) is a no-op —
+  it never rewrites the generation it would be reading from.
+* All state manipulation (listing tails, the commit flag, cleanup)
+  goes through the Hadoop FileSystem API (``catalog.fs_*``), so
+  ``state_dir`` may live on HDFS/S3A exactly like every Spark-written
+  path in this module — a driver-local ``os`` call would silently see
+  an empty index there and pass every duplicate through.
 * Steady-state probe cost: 1 compacted generation + < ``compact_every``
   tail directories, REGARDLESS of total batch count
   (tests/test_streaming.py asserts both the bound and decision parity
@@ -51,9 +59,6 @@ pass, as in the batch path.
 from __future__ import annotations
 
 import hashlib
-import json
-import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
@@ -124,28 +129,41 @@ def _verified_pairs(new_sigs: DataFrame, ix_bands: DataFrame,
 
 
 # --- compacted-store plumbing ------------------------------------------------
+# All listing/flagging/cleanup via catalog.fs_* (Hadoop FileSystem): works on
+# HDFS/S3A/local alike, and a genuinely unreachable store raises from the JVM
+# instead of silently reading as "empty index".
 
-def _marker_path(state_dir: str) -> str:
-    return f"{state_dir}/_compacted.json"
+def _gen_dir(state_dir: str, upto: int) -> str:
+    return f"{state_dir}/compacted/upto={upto}"
 
 
-def _read_marker(state_dir: str) -> dict | None:
-    try:
-        with open(_marker_path(state_dir)) as fh:
-            return json.load(fh)
-    except (FileNotFoundError, json.JSONDecodeError):
+def _read_marker(spark: SparkSession, state_dir: str) -> dict | None:
+    """Highest COMMITTED generation, discovered from the store itself:
+    the committed set can only be mutated by creating a ``_COMMITTED``
+    flag after durable table writes, so there is no marker file to
+    atomically replace (and no rename-atomicity assumption on S3)."""
+    best = -1
+    for name in catalog.fs_list_names(spark, f"{state_dir}/compacted"):
+        if not name.startswith("upto="):
+            continue
+        upto = int(name.split("=", 1)[1])
+        if upto > best and catalog.fs_exists(
+                spark, f"{_gen_dir(state_dir, upto)}/_COMMITTED"):
+            best = upto
+    if best < 0:
         return None
+    gen = _gen_dir(state_dir, best)
+    return {"upto": best, "bands_path": f"{gen}/bands",
+            "sigs_path": f"{gen}/sigs"}
 
 
-def _tail_batch_dirs(state_dir: str, lo_exclusive: int,
+def _tail_batch_dirs(spark: SparkSession, state_dir: str, lo_exclusive: int,
                      hi_exclusive: int) -> list[tuple[int, str]]:
     """Tail index partitions with lo < batch_id < hi, by DIRECT directory
     listing — never a recursive scan of the whole index tree."""
     root = f"{state_dir}/index"
-    if not os.path.isdir(root):
-        return []
     out = []
-    for name in os.listdir(root):
+    for name in catalog.fs_list_names(spark, root):
         if not name.startswith("batch_id="):
             continue
         b = int(name.split("=", 1)[1])
@@ -160,7 +178,7 @@ def _load_index(spark: SparkSession, state_dir: str,
     row committed with batch_id < ``batch_id``.  n_locations counts the
     physical places probed: <=1 compacted generation (+its 2 tables) and
     < compact_every tail dirs — bounded regardless of total batch count."""
-    marker = _read_marker(state_dir)
+    marker = _read_marker(spark, state_dir)
     upto = marker["upto"] if marker else -1
     bands = spark.createDataFrame([], _BANDS_SCHEMA)
     sigs = spark.createDataFrame([], _SIG_SCHEMA).select("doc_id", "shset")
@@ -178,7 +196,7 @@ def _load_index(spark: SparkSession, state_dir: str,
               .select("doc_id", "shset"))
         bands, sigs = bands.unionByName(cb), sigs.unionByName(cs)
         n_loc += 2
-    tail = _tail_batch_dirs(state_dir, upto, batch_id)
+    tail = _tail_batch_dirs(spark, state_dir, upto, batch_id)
     if tail:
         tdf = spark.read.parquet(*[p for _, p in tail])
         bands = bands.unionByName(_explode_bands(tdf))
@@ -194,14 +212,23 @@ def _table_name(state_dir: str, upto: int, which: str) -> str:
 
 def _compact(spark: SparkSession, state_dir: str, batch_id: int) -> None:
     """Fold compacted(old) ∪ tail(<= batch_id) into generation
-    upto=batch_id.  Write-new → flip marker → delete-old, so every crash
-    point replays consistently."""
-    marker = _read_marker(state_dir)
+    upto=batch_id.  Write-new → create commit flag → delete-old, so every
+    crash point replays consistently."""
+    marker = _read_marker(spark, state_dir)
     old_upto = marker["upto"] if marker else -1
-    gen_dir = f"{state_dir}/compacted/upto={batch_id}"
+    if old_upto >= batch_id:
+        # replayed micro-batch whose compaction already committed (crash
+        # landed between the flag and the stream's WAL commit): re-running
+        # would overwrite the committed generation WHILE reading it —
+        # wedging the stream or truncating the index.  The generation is
+        # durable; stale tail dirs a replay re-wrote (batch_id <= upto)
+        # are ignored by _load_index and swept by the next compaction.
+        return
+    gen_dir = _gen_dir(state_dir, batch_id)
     # gather all sig rows <= batch_id WITH their batch_id (basePath read
     # recovers the partition column from the tail dirs)
-    parts = [p for _, p in _tail_batch_dirs(state_dir, old_upto, batch_id + 1)]
+    parts = [p for _, p in
+             _tail_batch_dirs(spark, state_dir, old_upto, batch_id + 1)]
     srcs = []
     if marker:
         srcs.append(spark.read.parquet(marker["sigs_path"])
@@ -228,22 +255,22 @@ def _compact(spark: SparkSession, state_dir: str, batch_id: int) -> None:
         allsigs.select("doc_id", "shset", "bands", "batch_id"),
         _table_name(state_dir, batch_id, "sigs"),
         "doc_id", _N_BUCKETS, path=f"{gen_dir}/sigs")
-    # marker flip = commit point
-    tmp = _marker_path(state_dir) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"upto": batch_id,
-                   "bands_path": f"{gen_dir}/bands",
-                   "sigs_path": f"{gen_dir}/sigs"}, fh)
-    os.replace(tmp, _marker_path(state_dir))
-    # fold-source cleanup (safe: the new generation is durable)
-    for _, p in _tail_batch_dirs(state_dir, -1, batch_id + 1):
-        shutil.rmtree(p, ignore_errors=True)
-    if marker:
-        old_gen = os.path.dirname(marker["bands_path"])
-        if os.path.realpath(old_gen) != os.path.realpath(gen_dir):
-            shutil.rmtree(old_gen, ignore_errors=True)
-        for which in ("bands", "sigs"):
-            catalog.drop_table(spark, _table_name(state_dir, old_upto, which))
+    # commit flag = commit point (created only after both tables are
+    # durable; readers ignore any generation without it)
+    catalog.fs_touch(spark, f"{gen_dir}/_COMMITTED")
+    # fold-source cleanup (safe: the new generation is durable).  Sweep
+    # EVERY older generation, not just the immediate predecessor — a
+    # crash mid-cleanup on a previous compaction may have left orphans.
+    for _, p in _tail_batch_dirs(spark, state_dir, -1, batch_id + 1):
+        catalog.fs_delete(spark, p)
+    for name in catalog.fs_list_names(spark, f"{state_dir}/compacted"):
+        if not name.startswith("upto="):
+            continue
+        j = int(name.split("=", 1)[1])
+        if j != batch_id:
+            catalog.fs_delete(spark, _gen_dir(state_dir, j))
+            for which in ("bands", "sigs"):
+                catalog.drop_table(spark, _table_name(state_dir, j, which))
 
 
 def _process_batch(batch_df: DataFrame, batch_id: int, state_dir: str,
@@ -290,7 +317,7 @@ def streaming_dedup(
 
     ``state_dir`` gets ``index/`` (tail signature partitions, one per
     micro-batch since the last compaction), ``compacted/`` (the bucketed
-    generation store + ``_compacted.json`` marker), ``decisions/`` (one
+    generation store; ``upto=N/_COMMITTED`` flags), ``decisions/`` (one
     row per ingested doc: is_dup + dup_of), and ``_checkpoint/`` (file-
     source WAL).  ``compact_every=None`` disables compaction (probe cost
     then grows with batch count — test/debug only).

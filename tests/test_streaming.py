@@ -413,7 +413,7 @@ def test_streaming_dedup_compaction_bounded_and_parity(spark, tmp_path):
     # batches 1/3/5 -> everything folded into generation upto=5, zero
     # tail dirs, older generations gone
     state = tmp_path / "comp"
-    marker = _read_marker(str(state))
+    marker = _read_marker(spark, str(state))
     assert marker and marker["upto"] == 5
     tail = [n for n in os.listdir(f"{state}/index")
             if n.startswith("batch_id=")] if os.path.isdir(
@@ -427,3 +427,17 @@ def test_streaming_dedup_compaction_bounded_and_parity(spark, tmp_path):
     # un-compacted twin: probe cost grew linearly instead (6 tail dirs)
     _, _, n_plain = _load_index(spark, str(tmp_path / "plain"), 6)
     assert n_plain == 6
+
+    # (c) replay idempotency: a crash between the commit flag and the
+    # stream's WAL commit replays the compacting batch — _compact must
+    # no-op instead of overwriting the generation it is reading from
+    from pdf_extractor_spark.streaming.dedup import _compact
+    n_sigs = _load_index(spark, str(state), 6)[1].count()
+    _compact(spark, str(state), 5)
+    assert _read_marker(spark, str(state))["upto"] == 5
+    _, sigs2, n2 = _load_index(spark, str(state), 6)
+    assert n2 == 2 and sigs2.count() == n_sigs
+
+    # (d) a half-written generation (no _COMMITTED flag) is invisible
+    os.makedirs(f"{state}/compacted/upto=7")
+    assert _read_marker(spark, str(state))["upto"] == 5
