@@ -95,7 +95,4 @@ def asof_join(
         *[F.col(c).alias(f"{c}{suffix}") for c in right.columns
           if c not in keys + [order]],
         F.col(order).alias(f"{order}{suffix}"))
-    out = matched.join(rren, keys + ["__mo"], how).drop("__mo")
-    if how == "inner":
-        return out
-    return out
+    return matched.join(rren, keys + ["__mo"], how).drop("__mo")

@@ -101,9 +101,11 @@ def grade_record(gen: dict, exp: dict) -> dict:
     gleaf, eleaf = _leaf_paths(gen), _leaf_paths(exp)
     sims: dict[str, float] = {}
     diffs: dict[str, dict] = {}
+    _absent = object()  # a PRESENT null leaf is a value, not a missing path
     for p, ev in eleaf.items():
-        gv = gleaf.get(p)
-        s = 0.0 if gv is None else _ratio(gv, ev)
+        gv = gleaf.get(p, _absent)
+        s = 0.0 if gv is _absent else _ratio(gv, ev)
+        gv = None if gv is _absent else gv
         sims[p] = s
         if s < 1.0:
             diffs[p] = {

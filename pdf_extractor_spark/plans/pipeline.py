@@ -160,10 +160,16 @@ def run_extraction(
     # post-write validation pass (1A/validate_outputs.py analog): appended
     # as its own lineage status so failures surface durably, not silently.
     # Column reuse: doc_count = docs checked, parse_failures = violations,
-    # wall_ms = run sequence (epoch ms at validation time) — a partition is
-    # only re-validated when it is re-extracted, so the LATEST validation
-    # row per partition is the truth about the data currently on disk.
-    run_seq = int(time.time() * 1000)
+    # wall_ms = run sequence — a partition is only re-validated when it is
+    # re-extracted, so the LATEST validation row per partition is the truth
+    # about the data currently on disk.  The sequence is MONOTONIC over the
+    # lineage's own prior validation rows (max existing + 1), not raw wall
+    # clock: two sub-millisecond runs or an NTP step backwards must never
+    # let a stale validation_failed row outrank a newer clean one.
+    prev_seq = (spark.read.parquet(lin_loc)
+                .filter(F.col("status").isin("validated", "validation_failed"))
+                .agg(F.max("wall_ms")).collect()[0][0])
+    run_seq = max(int(time.time() * 1000), int(prev_seq or 0) + 1)
     vstats = validate_extracted(newly)
     validation = (
         vstats.select(

@@ -48,6 +48,22 @@ def test_perfect_match_grades_100():
     assert sem["document_coverage"]["coverage_score"] == 100.0
 
 
+def test_null_leaf_matches_null_leaf():
+    """A golden null leaf matched by a generated null leaf is a PERFECT
+    match (similarity 1.0), distinct from the path being absent (0.0)."""
+    golden = copy.deepcopy(GOLDEN)
+    golden["extracted_sections"][0]["page_number"] = None
+    r = grade_record(copy.deepcopy(golden), golden)
+    assert r["overall_score"] == 100.0
+    assert r["content_validation"]["content_differences"] == {}
+    # absent path still penalized
+    gen = copy.deepcopy(golden)
+    del gen["extracted_sections"][0]["page_number"]
+    r2 = grade_record(gen, golden)
+    sims = r2["content_validation"]["similarity_scores"]
+    assert sims["extracted_sections[0].page_number"] == 0.0
+
+
 def test_perturbed_scores_hand_computed():
     r = grade_record(perturbed(), GOLDEN)
     # 18 golden leaves; two perturbed fields score their difflib ratio
