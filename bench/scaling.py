@@ -25,6 +25,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import shutil
 import statistics
 import subprocess
@@ -328,9 +329,9 @@ Regenerate: `python bench/scaling.py --docs {s['docs']}`.
     try:
         with open(path) as f:
             old = f.read()
-        marker = "\n## Round-2 notes"
-        if marker in old:
-            notes = old[old.index(marker):]
+        m = re.search(r"\n## Round-\d+ notes", old)
+        if m:
+            notes = old[m.start():]
     except FileNotFoundError:
         pass
     with open(path, "w") as f:
