@@ -137,6 +137,17 @@ def _gen_dir(state_dir: str, upto: int) -> str:
     return f"{state_dir}/compacted/upto={upto}"
 
 
+def _dir_num(name: str, prefix: str) -> int | None:
+    """``prefix=<digits>`` → int, else None.  Store listings can contain
+    entries the pipeline never wrote (temp/editor artifacts like
+    ``upto=5.tmp``, lost+found, _SUCCESS); an unguarded int() on those
+    would permanently wedge every later micro-batch and compaction."""
+    if not name.startswith(prefix + "="):
+        return None
+    tail = name[len(prefix) + 1:]
+    return int(tail) if tail.isdigit() else None
+
+
 def _read_marker(spark: SparkSession, state_dir: str) -> dict | None:
     """Highest COMMITTED generation, discovered from the store itself:
     the committed set can only be mutated by creating a ``_COMMITTED``
@@ -144,9 +155,9 @@ def _read_marker(spark: SparkSession, state_dir: str) -> dict | None:
     atomically replace (and no rename-atomicity assumption on S3)."""
     best = -1
     for name in catalog.fs_list_names(spark, f"{state_dir}/compacted"):
-        if not name.startswith("upto="):
+        upto = _dir_num(name, "upto")
+        if upto is None:
             continue
-        upto = int(name.split("=", 1)[1])
         if upto > best and catalog.fs_exists(
                 spark, f"{_gen_dir(state_dir, upto)}/_COMMITTED"):
             best = upto
@@ -164,9 +175,9 @@ def _tail_batch_dirs(spark: SparkSession, state_dir: str, lo_exclusive: int,
     root = f"{state_dir}/index"
     out = []
     for name in catalog.fs_list_names(spark, root):
-        if not name.startswith("batch_id="):
+        b = _dir_num(name, "batch_id")
+        if b is None:
             continue
-        b = int(name.split("=", 1)[1])
         if lo_exclusive < b < hi_exclusive:
             out.append((b, f"{root}/{name}"))
     return sorted(out)
@@ -264,9 +275,9 @@ def _compact(spark: SparkSession, state_dir: str, batch_id: int) -> None:
     for _, p in _tail_batch_dirs(spark, state_dir, -1, batch_id + 1):
         catalog.fs_delete(spark, p)
     for name in catalog.fs_list_names(spark, f"{state_dir}/compacted"):
-        if not name.startswith("upto="):
+        j = _dir_num(name, "upto")
+        if j is None:
             continue
-        j = int(name.split("=", 1)[1])
         if j != batch_id:
             catalog.fs_delete(spark, _gen_dir(state_dir, j))
             for which in ("bands", "sigs"):

@@ -441,3 +441,33 @@ def test_streaming_dedup_compaction_bounded_and_parity(spark, tmp_path):
     # (d) a half-written generation (no _COMMITTED flag) is invisible
     os.makedirs(f"{state}/compacted/upto=7")
     assert _read_marker(spark, str(state))["upto"] == 5
+
+
+def test_stray_store_entries_are_ignored(spark, tmp_path):
+    """ADVICE r3: a non-numeric entry in the state store (temp/editor
+    artifacts like `upto=5.tmp`, lost+found) must be skipped by marker
+    and tail discovery, not raise ValueError and wedge every later
+    micro-batch."""
+    import os
+
+    from pdf_extractor_spark.streaming.dedup import (_dir_num, _read_marker,
+                                                     _tail_batch_dirs)
+    assert _dir_num("upto=12", "upto") == 12
+    assert _dir_num("upto=5.tmp", "upto") is None
+    assert _dir_num("upto=", "upto") is None
+    assert _dir_num("upto=-3", "upto") is None  # negative ids never written
+    assert _dir_num("batch_id=07", "batch_id") == 7
+    assert _dir_num("_SUCCESS", "upto") is None
+
+    state = tmp_path / "stray"
+    os.makedirs(f"{state}/compacted/upto=3")
+    open(f"{state}/compacted/upto=3/_COMMITTED", "w").close()
+    os.makedirs(f"{state}/compacted/upto=5.tmp")
+    open(f"{state}/compacted/upto=9", "w").close()  # stray FILE, no flag dir
+    os.makedirs(f"{state}/index/batch_id=4")
+    os.makedirs(f"{state}/index/batch_id=aux")
+    open(f"{state}/index/.batch_id=6.crc", "w").close()
+    marker = _read_marker(spark, str(state))
+    assert marker and marker["upto"] == 3
+    tail = _tail_batch_dirs(spark, str(state), -1, 100)
+    assert [b for b, _ in tail] == [4]
