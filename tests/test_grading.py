@@ -5,8 +5,11 @@ values, and the CLI --grade surface."""
 import copy
 import difflib
 import json
+import os
 import subprocess
 import sys
+
+import pytest
 
 from pdf_extractor_spark.plans.grading import grade_record, grade_report
 
@@ -66,14 +69,24 @@ def test_null_leaf_matches_null_leaf():
 
 def test_perturbed_scores_hand_computed():
     r = grade_record(perturbed(), GOLDEN)
-    # 18 golden leaves; two perturbed fields score their difflib ratio
-    r1 = difflib.SequenceMatcher(None, "gamma epsilon", "gamma delta").ratio()
+    # the reference's observable key set: metadata leaves + 3 container
+    # aggregates + element-[0] text fields (11 scored paths here; matched
+    # int fields are invisible).  The [1].section_title perturbation is
+    # seen only through the extracted_sections container aggregate; the
+    # [0].refined_text one also as a leaf.
+    rc1 = difflib.SequenceMatcher(
+        None, "d2, gamma epsilon, 2, 2", "d2, gamma delta, 2, 2").ratio()
+    rc2 = difflib.SequenceMatcher(
+        None, "d1, hello there, 1", "d1, hello world, 1").ratio()
     r2 = difflib.SequenceMatcher(None, "hello there", "hello world").ratio()
-    want_sim = 100.0 * (16 + r1 + r2) / 18
+    want_sim = 100.0 * (
+        4 + 1                      # metadata leaves + container
+        + (1 + rc1) / 2 + 1 + 1    # ES container + [0].document/[0].title
+        + (rc2 + 1) / 2 + 1 + r2   # SA container + [0].document/[0].text
+    ) / 11
     cv = r["content_validation"]
     assert abs(cv["overall_similarity"] - want_sim) < 1e-9
     assert set(cv["content_differences"]) == {
-        "extracted_sections[1].section_title",
         "subsection_analysis[0].refined_text"}
     # structure unchanged; one of two (document, title) pairs survives
     sem = r["semantic_validation"]["extracted_sections_validation"]
@@ -106,6 +119,54 @@ def test_reference_overall_formula_reproduced():
                           (100.0, 79.88628089006617, 0.0, 59.96209363002206),
                           (100.0, 57.53366458161733, 0.0, 52.51122152720578)]:
         assert abs((s + c + 100 * o) / 3 - want) < 1e-9
+
+
+REF_COLLECTIONS = "/root/reference/1B/Collections"
+PUBLISHED_KEYS = {
+    "metadata.processing_timestamp", "extracted_sections", "metadata",
+    "metadata.input_documents", "subsection_analysis", "metadata.persona",
+    "subsection_analysis[0].document", "extracted_sections[0].section_title",
+    "extracted_sections[0].document", "metadata.job_to_be_done",
+    "subsection_analysis[0].refined_text",
+}
+
+
+@pytest.mark.parametrize("col", ["Collection 1", "Collection 2",
+                                 "Collection 3"])
+def test_real_reference_golden_self_grade(col):
+    """An actual reference golden record graded against itself must be a
+    perfect score, and the similarity_scores key set must be EXACTLY the
+    11 paths every collection publishes in 1B/validation_report.json —
+    the decoded enumeration on real reference data, read-only."""
+    p = f"{REF_COLLECTIONS}/{col}/challenge1b_output.json"
+    if not os.path.exists(p):
+        pytest.skip("reference tree absent")
+    with open(p) as f:
+        rec = json.load(f)
+    r = grade_record(copy.deepcopy(rec), rec)
+    assert r["overall_score"] == 100.0
+    assert r["grade"] == "A - Excellent"
+    assert r["content_validation"]["content_differences"] == {}
+    assert set(r["content_validation"]["similarity_scores"]) == PUBLISHED_KEYS
+    assert all(v == 1.0
+               for v in r["content_validation"]["similarity_scores"].values())
+
+
+def test_int_mismatch_counts_in_overall_not_in_similarity_scores():
+    """Collection 1 decoded: page_number (int) mismatch appears in
+    content_differences and lowers overall_similarity, but never enters
+    similarity_scores; a matched int is invisible everywhere."""
+    gen = copy.deepcopy(GOLDEN)
+    gen["subsection_analysis"][0]["page_number"] = 9
+    r = grade_record(gen, GOLDEN)
+    cv = r["content_validation"]
+    assert "subsection_analysis[0].page_number" in cv["content_differences"]
+    assert "subsection_analysis[0].page_number" not in cv["similarity_scores"]
+    # 11 text paths (one container degraded) + the int mismatch = 12
+    rc = difflib.SequenceMatcher(
+        None, "d1, hello world, 9", "d1, hello world, 1").ratio()
+    want = 100.0 * (10 + (rc + 1) / 2 + 0.0) / 12
+    assert abs(cv["overall_similarity"] - want) < 1e-9
 
 
 def test_structure_penalties_and_missing_collection():
