@@ -50,17 +50,45 @@ def register(name: str, sql: str | None, doc: str):
 _COMPUTE_HEAVY = {"documents", "embeddings"}
 
 
-# scan-split counts per parquet path: invariant within a session, and
-# df.rdd.getNumPartitions() forces full physical planning per call — cache
-# so repeated t() calls don't replan the same scan
+# scan-split estimates per parquet path: invariant within a session — cache
+# so repeated t() calls don't re-stat the same files
 _SCAN_PARTS: dict[str, int] = {}
+
+
+def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    for suffix, mult in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                         ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                         ("b", 1)):
+        if raw.endswith(suffix) and raw[: -len(suffix)].isdigit():
+            return int(raw[: -len(suffix)]) * mult
+    return int(raw) if raw.isdigit() else default
+
+
+def _scan_split_estimate(spark: SparkSession, df: DataFrame,
+                         path: str) -> int:
+    """How many partitions the file scan will yield, via Spark's own
+    FilePartition packing arithmetic (maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, totalBytes/defaultParallelism)); files split at
+    maxSplitBytes and bin-packed with openCost padding) computed from the
+    parquet footprint through the Hadoop FileSystem — no df.rdd conversion,
+    no physical planning of the scan."""
+    from .sources import catalog
+    n_files = max(1, len(df.inputFiles()))
+    data_bytes = catalog.fs_size(spark, path)
+    open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    max_pb = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    total = data_bytes + n_files * open_cost
+    per_core = total // max(1, spark.sparkContext.defaultParallelism)
+    max_split = min(max_pb, max(open_cost, per_core))
+    return max(1, -(-total // max_split))
 
 
 def t(spark: SparkSession, sf_dir: str, name: str,
       spread: bool = True) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if spread and name in _COMPUTE_HEAVY:
-        # Parquet scans split by row-group, so a small or well-compressed
+        # Parquet scans split by file size, so a small or well-compressed
         # corpus slice can arrive in far fewer partitions than cores while
         # its per-row compute is the real bottleneck (sf0.1 documents =
         # one 0.6 MB row-group = ONE task for every signature pass).
@@ -70,7 +98,7 @@ def t(spark: SparkSession, sf_dir: str, name: str,
         target = spark.sparkContext.defaultParallelism
         path = f"{sf_dir}/{name}.parquet"
         if path not in _SCAN_PARTS:
-            _SCAN_PARTS[path] = df.rdd.getNumPartitions()
+            _SCAN_PARTS[path] = _scan_split_estimate(spark, df, path)
         if _SCAN_PARTS[path] < target:
             df = df.repartition(target)
     return df

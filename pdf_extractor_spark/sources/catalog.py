@@ -123,6 +123,16 @@ def fs_list_names(spark: SparkSession, dir_path: str) -> list[str]:
     return [st.getPath().getName() for st in fs.listStatus(p)]
 
 
+def fs_size(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` (file or directory; 0 if absent) — the
+    same FileSystem resolver Spark's scans use, so any readable source
+    (HDFS/S3A/local) can be sized without planning a scan."""
+    fs, p = _hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return 0
+    return int(fs.getContentSummary(p).getLength())
+
+
 def fs_exists(spark: SparkSession, path: str) -> bool:
     fs, p = _hadoop_fs(spark, path)
     return bool(fs.exists(p))
