@@ -118,6 +118,16 @@ def main(argv: list[str] | None = None) -> int:
                          "scorer) and the report lands at "
                          "<output>.validation.json.  With --grade, grades "
                          "an existing record file instead (no Spark).")
+    ap.add_argument("--dedup-embeddings", default=None, metavar="PARQUET",
+                    help="embedding near-dup mode: input parquet of "
+                         "(vec_id, embedding array<float>); corpus size is "
+                         "estimated from the parquet footers and the LSH "
+                         "band geometry DERIVED from it (emb_lsh_geometry), "
+                         "then banding -> capped candidates -> exact cosine "
+                         "verify -> components -> keep-canonical decisions "
+                         "land under --output")
+    ap.add_argument("--threshold-pct", type=int, default=98,
+                    help="dedup cosine threshold x100 (default 98)")
     ap.add_argument("--grade", default=None,
                     help="existing generated record JSON to grade against "
                          "--golden; report printed to stdout and written "
@@ -144,11 +154,19 @@ def main(argv: list[str] | None = None) -> int:
             "report": args.output}))
         return 0
 
-    if not args.input:
+    if not args.input and not args.dedup_embeddings:
         ap.error("--input is required except in --grade mode")
 
     from .session import get_spark
     spark = get_spark("pdf_extractor_spark.cli", master=args.master)
+
+    if args.dedup_embeddings:
+        from .corpus import dedup_embeddings_run
+        metrics = dedup_embeddings_run(
+            spark, args.dedup_embeddings, args.output,
+            threshold_pct=args.threshold_pct)
+        print(json.dumps(metrics))
+        return 0
 
     if args.config:
         metrics = _run_selection(spark, args.input, args.config, args.output,
