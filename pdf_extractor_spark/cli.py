@@ -128,6 +128,16 @@ def main(argv: list[str] | None = None) -> int:
                          "land under --output")
     ap.add_argument("--threshold-pct", type=int, default=98,
                     help="dedup cosine threshold x100 (default 98)")
+    ap.add_argument("--dedup-texts", default=None, metavar="PARQUET",
+                    help="simhash near-dup mode: input parquet of "
+                         "(doc_id, text); corpus size is estimated from "
+                         "the parquet footers and the pigeonhole band "
+                         "width DERIVED from it (simhash_band_bits), then "
+                         "banding -> capped candidates -> exact hamming "
+                         "verify -> components -> keep-canonical "
+                         "decisions land under --output")
+    ap.add_argument("--hamming-max", type=int, default=3,
+                    help="simhash near-dup hamming threshold (default 3)")
     ap.add_argument("--grade", default=None,
                     help="existing generated record JSON to grade against "
                          "--golden; report printed to stdout and written "
@@ -154,7 +164,7 @@ def main(argv: list[str] | None = None) -> int:
             "report": args.output}))
         return 0
 
-    if not args.input and not args.dedup_embeddings:
+    if not args.input and not (args.dedup_embeddings or args.dedup_texts):
         ap.error("--input is required except in --grade mode")
 
     from .session import get_spark
@@ -165,6 +175,13 @@ def main(argv: list[str] | None = None) -> int:
         metrics = dedup_embeddings_run(
             spark, args.dedup_embeddings, args.output,
             threshold_pct=args.threshold_pct)
+        print(json.dumps(metrics))
+        return 0
+
+    if args.dedup_texts:
+        from .corpus import dedup_texts_run
+        metrics = dedup_texts_run(spark, args.dedup_texts, args.output,
+                                  hamming_max=args.hamming_max)
         print(json.dumps(metrics))
         return 0
 

@@ -393,6 +393,44 @@ def _simhash_nib_from_text_s(nbits: int = 60) -> str:
                 let1(votes, "vt", bits))
 
 
+def _simhash_bands_from_text_s(bits: int) -> str:
+    """The PRODUCTION simhash banding: an array of 4 pigeonhole bands of
+    ``bits`` bits each over a 4·bits-wide signature, in one aggregate
+    pass.  Band k holds signature bits [k·bits, (k+1)·bits) under the
+    same vote rule as `_simhash_nib_from_text_s` (bit j votes on bit j%4
+    of word-digest hex digit j//4), so at bits=15 the 4 values equal the
+    60-bit registry signature's band split exactly (pinned by a pytest).
+
+    Because the bands PARTITION the signature, total hamming = the sum
+    of per-band hammings, and the pigeonhole guarantee (<= 3 flipped
+    bits -> >= 1 band untouched) holds at ANY band width — this is the
+    seam `simhash_band_bits(n)` threads through: wider bands = more
+    band space as the corpus grows.  Needs bits hex digits per word
+    digest; beyond md5's 32 the digest doubles (md5(w) ++ md5('#'+w),
+    the minhash module's trick), supporting bits <= 63 (bigint band),
+    i.e. corpora to ~10^18 docs."""
+    if not 1 <= bits <= 63:
+        raise ValueError(f"band width {bits} outside [1, 63]")
+    nbits = 4 * bits
+    src = ("md5(w)" if bits <= 32
+           else "concat(md5(w), md5(concat('#', w)))")
+    nibs = (f"transform(sequence(1, {bits}), d -> "
+            "instr('0123456789abcdef', substr(h, d, 1)) - 1)")
+    bitvotes = (f"transform(sequence(1, {nbits}), j -> "
+                "CASE WHEN shiftright(nb[(j - 1) div 4], (j - 1) % 4) % 2 = 1 "
+                "THEN 1 ELSE -1 END)")
+    votes = (f"aggregate(hs, transform(sequence(1, {nbits}), j -> 0), "
+             f"(acc, h) -> zip_with(acc, {let1(nibs, 'nb', bitvotes)}, "
+             "(x, y) -> x + y))")
+    band = (f"transform(sequence(0, 3), k -> "
+            f"cast(aggregate(sequence(k * {bits}, k * {bits} + {bits - 1}), "
+            "cast(0 as bigint), (a, j) -> a + (CASE WHEN vt[j] > 0 "
+            f"THEN shiftleft(cast(1 as bigint), j - k * {bits}) "
+            "ELSE cast(0 as bigint) END)) as bigint))")
+    return let1(f"transform({WORDS_S}, w -> {src})", "hs",
+                let1(votes, "vt", band))
+
+
 def _simhash_from_text_s(nbits: int = 16) -> str:
     """Spark-side simhash straight from `text`, ONE pass over the word
     digests: aggregate folds every md5 into an nbits-wide vote vector
@@ -1631,6 +1669,78 @@ def dedup_embeddings_run(spark, input_path: str, output_dir: str,
         "pairs": out_pairs.count(),
         "non_canonical": out_dec.filter(~F.col("is_canonical")).count(),
         "dropped_hot_buckets": n_dropped,
+        "wall_s": round(time.perf_counter() - t0, 3),
+    }
+
+
+def dedup_texts_run(spark, input_path: str, output_dir: str,
+                    hamming_max: int = 3, iterations: int = 3,
+                    cap: int = EMB_BUCKET_CAP) -> dict:
+    """Production simhash near-dup entry point (``cli.py --dedup-texts``):
+    the `simhash_band_bits` seam exercised end to end over a (doc_id,
+    text) parquet.
+
+    Corpus size is estimated from the parquet footers and the band width
+    DERIVED from it, so band space outgrows the corpus (expected random
+    collisions per band n²/2^bits <= n).  Pipeline: 4-band pigeonhole
+    simhash (`_simhash_bands_from_text_s`) → hot-band-capped candidate
+    equi-join → exact hamming <= ``hamming_max`` verify over the full
+    4·bits signature (sum of per-band xor popcounts — bands partition
+    the signature) → min-label components → keep-canonical decisions.
+    Sinks land under ``output_dir``; the drop report count is surfaced
+    in the returned metrics (no-silent-caps)."""
+    import time
+    t0 = time.perf_counter()
+    n_est = estimate_parquet_rows(spark, input_path)
+    bits = simhash_band_bits(n_est)
+    d = spark.read.parquet(input_path).select("doc_id", "text")
+    sigs = (d.filter(F.expr(f"size({WORDS_S}) >= 1"))
+            .select("doc_id",
+                    F.expr(_simhash_bands_from_text_s(bits)).alias("bands")))
+    sigs = _persist(sigs)   # band explode + both verify legs
+    ex = sigs.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_bits"))
+    kept, dropped = _occupancy_capped(ex, ["band_idx", "band_bits"], cap)
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_bits") == F.col("b.band_bits"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("bands").alias("bands_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("bands").alias("bands_b"))
+    ham = F.expr("aggregate(zip_with(bands_a, bands_b, "
+                 "(x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
+    pairs = (cand.join(sa, "doc_a").join(sb, "doc_b")
+             .withColumn("hamming", ham.cast("int"))
+             .filter(F.col("hamming") <= hamming_max)
+             .select("doc_a", "doc_b", "hamming"))
+    pairs = _persist(pairs, fresh=False)
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                       F.col("doc_a").alias("dst"))))
+    labels = _min_label_components(edges, iterations)
+    decisions = labels.select(F.col("node").alias("doc_id"),
+                              F.col("label").alias("component"),
+                              (F.col("label") == F.col("node"))
+                              .alias("is_canonical"))
+    pairs.write.mode("overwrite").parquet(f"{output_dir}/pairs")
+    decisions.write.mode("overwrite").parquet(f"{output_dir}/decisions")
+    dropped.write.mode("overwrite").parquet(f"{output_dir}/dropped_bands")
+    out_pairs = spark.read.parquet(f"{output_dir}/pairs")
+    out_dec = spark.read.parquet(f"{output_dir}/decisions")
+    n_dropped = spark.read.parquet(f"{output_dir}/dropped_bands").count()
+    return {
+        "mode": "dedup_texts", "n_est": n_est, "band_bits": bits,
+        "signature_bits": 4 * bits, "hamming_max": hamming_max,
+        "band_cap": cap,
+        "pairs": out_pairs.count(),
+        "non_canonical": out_dec.filter(~F.col("is_canonical")).count(),
+        "dropped_hot_bands": n_dropped,
         "wall_s": round(time.perf_counter() - t0, 3),
     }
 

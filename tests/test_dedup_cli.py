@@ -115,3 +115,96 @@ def test_cli_decisions_match_bruteforce(spark, tmp_path, capsys):
     got_noncanon = {r.vec_id for r in dec if not r.is_canonical}
     assert got_noncanon == want_noncanon
     assert metrics["non_canonical"] == len(want_noncanon)
+
+
+class TestDedupTexts:
+    """Production simhash path (cli --dedup-texts): the simhash_band_bits
+    seam end to end, banded signature equivalence, and decisions vs a
+    brute-force hamming oracle."""
+
+    def test_band_array_matches_registry_signature_at_15_bits(self, spark):
+        """At bits=15 the 4-band array must equal the 60-bit registry
+        signature's band split bit for bit (same vote rule)."""
+        from pdf_extractor_spark.corpus import (
+            WORDS_S, _neardup_corpus_s, _simhash_bands_from_text_s,
+            _simhash_nib_from_text_s)
+        corpus = (_neardup_corpus_s(spark, SF_DIR)
+                  .filter(F.expr(f"size({WORDS_S}) >= 1")))
+        rows = (corpus.select(
+            "doc_id",
+            F.expr(_simhash_nib_from_text_s(60)).alias("sig60"),
+            F.expr(_simhash_bands_from_text_s(15)).alias("bands"))
+            .collect())
+        assert rows
+        for r in rows:
+            want = [(r.sig60 >> (15 * k)) & 0x7FFF for k in range(4)]
+            assert list(r.bands) == want, r.doc_id
+
+    def test_band_width_derives_from_footer(self, spark, tmp_path):
+        """10^6-row footer -> 20-bit bands (> the 15-bit sf default)."""
+        from pdf_extractor_spark.corpus import (estimate_parquet_rows,
+                                                simhash_band_bits)
+        p = str(tmp_path / "txt1m")
+        (spark.range(10**6)
+         .select(F.col("id").alias("doc_id"), F.lit("x y z").alias("text"))
+         .write.parquet(p))
+        assert simhash_band_bits(estimate_parquet_rows(spark, p)) == 20
+
+    def test_wide_bands_double_digest_recall(self, spark, tmp_path, capsys):
+        """bits > 32 switches to the doubled word digest (signature wider
+        than one md5); planted exact dups must still collide in every
+        band and verify at hamming 0."""
+        from pdf_extractor_spark.corpus import _simhash_bands_from_text_s
+        sigs = (spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+             (3, "wholly different words here")],
+            "doc_id long, text string")
+            .select("doc_id",
+                    F.expr(_simhash_bands_from_text_s(40)).alias("bands"))
+            .collect())
+        by_id = {r.doc_id: list(r.bands) for r in sigs}
+        assert by_id[1] == by_id[2]
+        assert by_id[1] != by_id[3]
+        assert all(0 <= b < (1 << 40) for b in by_id[1])
+
+    def test_cli_decisions_match_bruteforce(self, spark, tmp_path, capsys):
+        from pdf_extractor_spark.corpus import (WORDS_S, _neardup_corpus_s,
+                                                _simhash_bands_from_text_s,
+                                                simhash_band_bits)
+        inp = str(tmp_path / "txt_in")
+        out = str(tmp_path / "txt_out")
+        _neardup_corpus_s(spark, SF_DIR).write.parquet(inp)
+
+        from pdf_extractor_spark.cli import main
+        rc = main(["--dedup-texts", inp, "--output", out])
+        assert rc == 0
+        metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert metrics["mode"] == "dedup_texts"
+        assert metrics["band_bits"] == simhash_band_bits(metrics["n_est"])
+        assert metrics["dropped_hot_bands"] == 0
+
+        # brute-force oracle: all-pairs hamming over the SAME signature
+        sigs = (spark.read.parquet(inp)
+                .filter(F.expr(f"size({WORDS_S}) >= 1"))
+                .select("doc_id", F.expr(_simhash_bands_from_text_s(
+                    metrics["band_bits"])).alias("bands")))
+        a = sigs.select(F.col("doc_id").alias("doc_a"),
+                        F.col("bands").alias("bands_a"))
+        b = sigs.select(F.col("doc_id").alias("doc_b"),
+                        F.col("bands").alias("bands_b"))
+        ham = F.expr("aggregate(zip_with(bands_a, bands_b, "
+                     "(x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
+        brute = (a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+                 .withColumn("hamming", ham.cast("int"))
+                 .filter(F.col("hamming") <= 3))
+        want = {(r.doc_a, r.doc_b) for r in brute.collect()}
+        got = {(r.doc_a, r.doc_b)
+               for r in spark.read.parquet(f"{out}/pairs").collect()}
+        assert want, "fixture must contain engineered near-dup pairs"
+        assert got == want
+        label, hops = _fixpoint_labels(want)
+        assert hops <= 3, f"fixture diameter {hops} exceeds CLI iterations"
+        want_noncanon = {v for v, l in label.items() if l != v}
+        dec = spark.read.parquet(f"{out}/decisions").collect()
+        assert {r.doc_id for r in dec if not r.is_canonical} == want_noncanon
+        assert metrics["non_canonical"] == len(want_noncanon)
