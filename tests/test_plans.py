@@ -125,6 +125,31 @@ _BNLJ_OK = {"ann_topk_cosine", "ann_ivf_probe", "ann_ivf_kmeans",
             "corpus_mix", "tfidf_terms"}
 
 
+def test_registry_exchange_budget(spark):
+    """Shuffle-count ratchet: every registry query's initial physical plan
+    must contain AT MOST the Exchange count recorded in plan_budgets.json
+    (regenerate with tests/gen_plan_budgets.py after an intentional
+    structural change).  At 100 TB an accidental extra exchange is the
+    difference between a working job and a dead one — this pins the
+    shuffle structure the plan audits signed off on, the same way the
+    DuckDB oracles pin the values."""
+    import json
+    import os
+
+    with open(os.path.join(os.path.dirname(__file__),
+                           "plan_budgets.json")) as f:
+        budgets = json.load(f)
+    assert set(budgets) == set(REGISTRY), (
+        "plan_budgets.json out of date — run tests/gen_plan_budgets.py")
+    over = []
+    for name in sorted(REGISTRY):
+        plan = plan_of(REGISTRY[name].spark(spark, SF_DIR))
+        n = len(re.findall(r"\(\d+\) Exchange", plan))
+        if n > budgets[name]:
+            over.append((name, n, budgets[name]))
+    assert not over, f"exchange budget exceeded (name, got, budget): {over}"
+
+
 def test_registry_wide_no_unbounded_joins(spark):
     """EVERY registry query's physical plan: no CartesianProduct ever, and
     BroadcastNestedLoopJoin only where a broadcast-tiny side makes the
