@@ -1292,7 +1292,8 @@ def _kmeans_sql_iter(it: int) -> str:
       FROM dims{it} GROUP BY cell)"""
 
 
-def _assign_nearest(data, cents_df, materialize: bool = True):
+def _assign_nearest(data, cents_df, materialize: bool = True,
+                    carry_vec: bool = False):
     """Nearest-centroid assignment of every ``data`` vector (vec_id, qv)
     to a broadcast centroid set (cell, cv), cosine with cell tie-break.
 
@@ -1310,14 +1311,22 @@ def _assign_nearest(data, cents_df, materialize: bool = True):
     downstream consumer needs no barrier: pass ``materialize=False`` and
     it evaluates lazily inside the consumer's own job (VERDICT r3 item
     5 — one materialization barrier removed from ann_ivf_kmeans and
-    dedup_semantic each)."""
+    dedup_semantic each).  ``carry_vec=True`` additionally returns the
+    vector itself (``first(qv)`` — constant within the vec_id group, so
+    deterministic): every consumer of an assignment immediately re-joins
+    ``data`` on vec_id to recover qv, which costs two more exchanges
+    (both join sides) per round; carrying qv through the SAME aggregation
+    exchanges n (vec_id, cell, qv) rows ONCE instead — strictly less
+    volume than the small-assignment exchange plus the join's two."""
+    aggs = [F.max_by(
+        "cell", F.struct(F.col("ccos").alias("c"),
+                         (-F.col("cell")).alias("nc"))).alias("cell")]
+    if carry_vec:
+        aggs.append(F.first("qv").alias("qv"))
     step = (data.crossJoin(F.broadcast(cents_df))
             .withColumn("ccos", F.expr(f"{_CDOT_S} / {_CNRM_S}"))
             .groupBy("vec_id")
-            .agg(F.max_by(
-                "cell", F.struct(F.col("ccos").alias("c"),
-                                 (-F.col("cell")).alias("nc")))
-                .alias("cell")))
+            .agg(*aggs))
     if not materialize:
         return step
     return _materialize(_persist(step, fresh=False))
@@ -1379,9 +1388,6 @@ def ann_ivf_kmeans(spark, sf_dir):
     cents = (e.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 3 + K_IVF))
              .select((F.col("vec_id") - 3).alias("cell"),
                      F.expr("transform(qv, x -> CAST(x AS DOUBLE))").alias("cv")))
-    def assign_to(cents_df):
-        return _assign_nearest(data, cents_df)
-
     for _ in range(2):
         # per-cell means as EMB_DIM scalar avg aggregates over the intact
         # array column — no posexplode (the r2 form shuffled n·64 rows just
@@ -1389,7 +1395,8 @@ def ann_ivf_kmeans(spark, sf_dir):
         # exchange carries K·64 sums per map partition.  avg over the
         # int64-quantized values is exact (partial sums are integers well
         # below 2^53), hence order-independent and oracle-stable.
-        joined = assign_to(cents).join(data, "vec_id")
+        # carry_vec: the assignment brings qv along, so no data re-join
+        joined = _assign_nearest(data, cents, carry_vec=True)
         avgs = joined.groupBy("cell").agg(
             *[F.avg(F.col("qv")[i]).alias(f"c{i}") for i in range(EMB_DIM)])
         # cents is consumed exactly once per round (next assignment, or the
@@ -1402,8 +1409,10 @@ def ann_ivf_kmeans(spark, sf_dir):
     # same centroids — retrieving via the last training assignment (built
     # against cent1) would silently miss vectors whose nearest centroid
     # moved in the last mean update.  Consumed exactly once (the scorer),
-    # so no materialization barrier (VERDICT r3 item 5)
-    assign_last = _assign_nearest(data, cents, materialize=False)
+    # so no materialization barrier (VERDICT r3 item 5); carries qv so
+    # the scorer needs no data re-join
+    assign_last = _assign_nearest(data, cents, materialize=False,
+                                  carry_vec=True)
     q = (e.filter(F.col("vec_id") < 3)
          .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"))
          .withColumn("na", F.expr(
@@ -1414,7 +1423,7 @@ def ann_ivf_kmeans(spark, sf_dir):
              .withColumn("ccos", F.expr(f"{_CDOT_S} / {_CNRM_S}"))
              .withColumn("rn", F.row_number().over(wp))
              .filter(F.col("rn") <= 2).select("query_id", "cell"))
-    cand = (assign_last.join(data, "vec_id")
+    cand = (assign_last
             .withColumnRenamed("qv", "qb")
             .withColumn("nb", F.expr(
                 "aggregate(zip_with(qb, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")))
@@ -1570,13 +1579,13 @@ def dedup_semantic(spark, sf_dir):
             .select((F.col("vec_id") + 100000).alias("vec_id"),
                     perturbed.alias("qv")))
     )
-    data = _persist(data)  # read K+2 times: lloyd legs + both pairing sides
+    data = _persist(data)  # read per Lloyd-leg crossJoin (union not re-run)
     cents = (e.filter(F.col("vec_id") < K_IVF)
              .select(F.col("vec_id").alias("cell"),
                      F.expr("transform(qv, x -> CAST(x AS DOUBLE))").alias("cv")))
     # 1 Lloyd iteration: assign to seeds, recompute per-cell means (exact
     # int64 avgs — order-independent, oracle-stable; see ann_ivf_kmeans)
-    joined = _assign_nearest(data, cents).join(data, "vec_id")
+    joined = _assign_nearest(data, cents, carry_vec=True)
     avgs = joined.groupBy("cell").agg(
         *[F.avg(F.col("qv")[i]).alias(f"c{i}") for i in range(EMB_DIM)])
     cents = avgs.select(
@@ -1585,7 +1594,7 @@ def dedup_semantic(spark, sf_dir):
     # (VERDICT r3 item 5).  m itself needs no persist either: its sole
     # consumer is semantic_cell_pairs, whose occupancy split persists the
     # cell-partitioned form both self-join sides read from.
-    m = (_assign_nearest(data, cents, materialize=False).join(data, "vec_id")
+    m = (_assign_nearest(data, cents, materialize=False, carry_vec=True)
          .withColumn("nrm", F.expr(
              "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")))
     pairs, _dropped = semantic_cell_pairs(m)
