@@ -137,7 +137,26 @@ def main(argv: list[str] | None = None) -> int:
                          "verify -> components -> keep-canonical "
                          "decisions land under --output")
     ap.add_argument("--hamming-max", type=int, default=3,
-                    help="simhash near-dup hamming threshold (default 3)")
+                    help="simhash near-dup hamming threshold (default 3; "
+                         "max 3 — the 4-band pigeonhole only guarantees a "
+                         "band collision for hamming <= bands-1, larger "
+                         "values would silently lose recall and raise)")
+    ap.add_argument("--dedup-semantic", default=None, metavar="PARQUET",
+                    help="SemDeDup mode: input parquet of (vec_id, "
+                         "embedding); corpus size is estimated from the "
+                         "parquet footers and the k-means cluster count "
+                         "DERIVED from it (kmeans_k ~ n/target_cell_size), "
+                         "then Lloyd rounds -> capped intra-cell cosine "
+                         "pairing -> components -> keep-canonical "
+                         "decisions land under --output")
+    ap.add_argument("--target-cell-size", type=int, default=1024,
+                    help="SemDeDup expected vectors per k-means cell "
+                         "(drives the derived K; default 1024)")
+    ap.add_argument("--cc-iterations", type=int, default=20,
+                    help="max min-label propagation rounds for the dedup "
+                         "component labeling; the run iterates to fixpoint "
+                         "inside this budget and surfaces cc_converged / "
+                         "cc_residual in the metrics (default 20)")
     ap.add_argument("--grade", default=None,
                     help="existing generated record JSON to grade against "
                          "--golden; report printed to stdout and written "
@@ -164,7 +183,8 @@ def main(argv: list[str] | None = None) -> int:
             "report": args.output}))
         return 0
 
-    if not args.input and not (args.dedup_embeddings or args.dedup_texts):
+    if not args.input and not (args.dedup_embeddings or args.dedup_texts
+                               or args.dedup_semantic):
         ap.error("--input is required except in --grade mode")
 
     from .session import get_spark
@@ -174,14 +194,26 @@ def main(argv: list[str] | None = None) -> int:
         from .corpus import dedup_embeddings_run
         metrics = dedup_embeddings_run(
             spark, args.dedup_embeddings, args.output,
-            threshold_pct=args.threshold_pct)
+            threshold_pct=args.threshold_pct,
+            iterations=args.cc_iterations)
         print(json.dumps(metrics))
         return 0
 
     if args.dedup_texts:
         from .corpus import dedup_texts_run
         metrics = dedup_texts_run(spark, args.dedup_texts, args.output,
-                                  hamming_max=args.hamming_max)
+                                  hamming_max=args.hamming_max,
+                                  iterations=args.cc_iterations)
+        print(json.dumps(metrics))
+        return 0
+
+    if args.dedup_semantic:
+        from .corpus import dedup_semantic_run
+        metrics = dedup_semantic_run(
+            spark, args.dedup_semantic, args.output,
+            threshold_pct=args.threshold_pct,
+            iterations=args.cc_iterations,
+            target_cell_size=args.target_cell_size)
         print(json.dumps(metrics))
         return 0
 

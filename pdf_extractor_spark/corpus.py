@@ -393,6 +393,12 @@ def _simhash_nib_from_text_s(nbits: int = 60) -> str:
                 let1(votes, "vt", bits))
 
 
+# Pigeonhole band count of the production simhash signature: <= 3 flipped
+# bits leave >= 1 of the 4 bands untouched, so hamming_max <= SIMHASH_BANDS-1
+# is the recall guarantee dedup_texts_run enforces.
+SIMHASH_BANDS = 4
+
+
 def _simhash_bands_from_text_s(bits: int) -> str:
     """The PRODUCTION simhash banding: an array of 4 pigeonhole bands of
     ``bits`` bits each over a 4·bits-wide signature, in one aggregate
@@ -720,12 +726,29 @@ def _components_sql_iter(it: int) -> str:
       GROUP BY n.node)"""
 
 
+def _minlabel_hop(labels, edges):
+    """One min-label propagation hop: every node takes the minimum of its
+    own label and its neighbours' labels (join-neighbours + combine-
+    friendly groupBy-min — the relational core of large-star/small-star)."""
+    nb = (labels.join(edges, labels.node == edges.src, "left")
+          .join(labels.select(F.col("node").alias("dst_node"),
+                              F.col("label").alias("dst_label")),
+                F.col("dst") == F.col("dst_node"), "left"))
+    return (nb.groupBy("node")
+            .agg(F.least(F.min(F.col("label")),
+                         F.coalesce(F.min("dst_label"),
+                                    F.min(F.col("label")))).alias("label")))
+
+
 def _min_label_components(edges, iterations: int = 3):
     """Min-label propagation over a DIRECTED edge list (src, dst) that
-    must already contain both directions of every pair.  One hop per
-    iteration (join-neighbours + combine-friendly groupBy-min), so
-    ``iterations`` must cover the component diameter.  Returns
-    (node, label); canonical node = component minimum."""
+    must already contain both directions of every pair, with a FIXED
+    unrolled hop count — the registry form, mirroring the static DuckDB
+    oracle's three unrolled CTEs.  ``iterations`` must cover the
+    component diameter; production callers use
+    :func:`min_label_components_fixpoint` instead, which iterates until
+    no label changes and SURFACES convergence.  Returns (node, label);
+    canonical node = component minimum."""
     edges = _persist(edges)
     labels = edges.select(F.col("src").alias("node")).distinct() \
                   .withColumn("label", F.col("node"))
@@ -733,15 +756,72 @@ def _min_label_components(edges, iterations: int = 3):
         # labels is referenced twice below (self-join on neighbours) —
         # persist + materialize each round or the plan doubles per round
         labels = _materialize(_persist(labels, fresh=False))
-        nb = (labels.join(edges, labels.node == edges.src, "left")
-              .join(labels.select(F.col("node").alias("dst_node"),
-                                  F.col("label").alias("dst_label")),
-                    F.col("dst") == F.col("dst_node"), "left"))
-        labels = (nb.groupBy("node")
-                  .agg(F.least(F.min(F.col("label")),
-                               F.coalesce(F.min("dst_label"),
-                                          F.min(F.col("label")))).alias("label")))
+        labels = _minlabel_hop(labels, edges)
     return labels
+
+
+def min_label_components_fixpoint(edges, max_rounds: int = 20):
+    """Min-label propagation TO FIXPOINT with surfaced convergence — the
+    production form (``cli.py --dedup-*``, VERDICT r4 item 1).
+
+    The fixed-hop form silently splits any dup-chain whose component
+    diameter exceeds the hop count (wrong ``is_canonical`` decisions, no
+    error).  Here each round ends with a convergence probe: min-label
+    propagation only ever DECREASES labels, so the label sum (exact
+    decimal(38,0) — no int64 overflow at 10^12 × 10^12-sized ids) is
+    strictly monotone and two equal consecutive sums ⟺ zero changed
+    labels.  The probe is one map-side-combinable aggregate over the
+    just-checkpointed round state — no extra join, no extra shuffle.
+
+    Round state is cut with ``localCheckpoint(eager=True)``, not
+    persist+count: ``_minlabel_hop`` references the round state twice, so
+    persist alone leaves the *analyzed logical plan* doubling per round
+    (cache substitution happens only after full analysis) — by round 12
+    Catalyst walks a ~4096×-duplicated tree and the driver OOMs; the
+    checkpoint truncates the plan to the materialized relation so plan
+    size is constant per round.  On a real cluster swap in
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` for the
+    same cut with fault-tolerance; superseded round RDDs are released by
+    the ContextCleaner as Python drops the reference, so steady-state
+    storage is a handful of (node, label) tables, not ``max_rounds``.
+
+    Returns ``(labels, info)`` where info = {"cc_rounds", "cc_converged",
+    "cc_residual"}; residual = changed-label count of the LAST round
+    (0 when converged, computed with one thin node-keyed join only on the
+    non-converged bail path).  Callers must surface ``cc_converged`` in
+    their metrics (no-silent-caps)."""
+    edges = _persist(edges, fresh=False)
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+
+    def _label_sum(lab):
+        return (lab.agg(F.sum(F.col("label").cast("decimal(38,0)"))
+                        .alias("s")).first()["s"]) or 0
+
+    prev_sum = _label_sum(labels)
+    rounds = 0
+    converged = False
+    for rounds in range(1, max_rounds + 1):
+        new = _minlabel_hop(labels, edges).localCheckpoint(eager=True)
+        new_sum = _label_sum(new)
+        labels = new
+        if new_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = new_sum
+    residual = 0
+    if not converged:
+        # one extra hop just to COUNT what would still change (thin
+        # node-keyed join over two persisted id tables)
+        nxt = _minlabel_hop(labels, edges)
+        residual = (nxt.join(labels.withColumnRenamed("label", "old"),
+                             "node")
+                    .filter(F.col("label") != F.col("old")).count())
+        converged = residual == 0
+    info = {"cc_rounds": rounds, "cc_converged": converged,
+            "cc_residual": residual}
+    return labels, info
 
 
 @register(
@@ -1062,6 +1142,35 @@ def simhash_band_bits(n_est: int, min_bits: int = 15) -> int:
     60-bit digests, still pigeonhole-lossless)."""
     import math
     return max(min_bits, math.ceil(math.log2(max(2, n_est))))
+
+
+# Centroid broadcast budget for the single-level k-means family: 64Ki
+# centroids x 64 doubles = 32 MB — comfortably broadcastable; beyond it
+# a two-level (coarse-then-fine) clustering is the scale path, so the
+# derivation CAPS here and surfaces the resulting expected cell size in
+# the production metrics instead of silently over-packing cells.
+KMEANS_K_MAX = 65536
+
+
+def kmeans_k(n_est: int, target_cell_size: int = 1024,
+             min_k: int = 8, max_k: int = KMEANS_K_MAX) -> int:
+    """Cluster count for SemDeDup-style semantic dedup as a FUNCTION of
+    corpus size — the third derivation seam beside ``emb_lsh_geometry``
+    and ``simhash_band_bits`` (VERDICT r4 item 2).  K ~ n /
+    target_cell_size (the SemDeDup regime, Abbas et al. 2023
+    arXiv:2303.09540) keeps expected intra-cell pair counts linear in n:
+    n·target pairs total rather than n²/K.  Clamped to [min_k,
+    min(max_k, n)]: the floor keeps fixture geometry at the registry's
+    sf default so static oracles stay valid; the ceiling is the centroid
+    broadcast budget (``KMEANS_K_MAX``) — past ~max_k·target_cell_size
+    vectors (~6.7·10⁷ at the defaults) expected occupancy grows again
+    and a caller should shard or go two-level (the returned K plus the
+    surfaced expected occupancy make that visible, never silent)."""
+    import math
+    if n_est <= 0:
+        return min_k
+    k = max(min_k, math.ceil(n_est / target_cell_size))
+    return max(1, min(k, max_k, n_est))
 
 
 def _plane_signs(h: int) -> list[int]:
@@ -1613,7 +1722,7 @@ def estimate_parquet_rows(spark, path: str) -> int:
 
 
 def dedup_embeddings_run(spark, input_path: str, output_dir: str,
-                         threshold_pct: int = 98, iterations: int = 3,
+                         threshold_pct: int = 98, iterations: int = 20,
                          cap: int = EMB_BUCKET_CAP) -> dict:
     """Production embedding near-dup entry point (``cli.py
     --dedup-embeddings``): the derived-geometry seam exercised end to end.
@@ -1627,11 +1736,11 @@ def dedup_embeddings_run(spark, input_path: str, output_dir: str,
     decisions, the hot-bucket drop report) land under ``output_dir`` and
     the drop count is surfaced in the returned metrics (no-silent-caps).
 
-    ``iterations`` bounds min-label propagation: one hop per iteration, so
-    it must cover the dup graph's component diameter (3 covers the star-
-    and-short-chain structure near-dup graphs overwhelmingly have; raise
-    it for chainier data — star-contraction doubling is the scale path
-    for pathological diameters).
+    ``iterations`` bounds min-label propagation (``--cc-iterations``); the
+    run iterates TO FIXPOINT inside that budget and the metrics carry
+    ``cc_rounds`` / ``cc_converged`` / ``cc_residual`` — a dup-chain whose
+    diameter exceeds the budget is DETECTED and surfaced, never silently
+    split (VERDICT r4 item 1).
     """
     import time
     t0 = time.perf_counter()
@@ -1661,7 +1770,7 @@ def dedup_embeddings_run(spark, input_path: str, output_dir: str,
                           F.col("vec_b").alias("dst"))
              .unionByName(pairs.select(F.col("vec_b").alias("src"),
                                        F.col("vec_a").alias("dst"))))
-    labels = _min_label_components(edges, iterations)
+    labels, cc = min_label_components_fixpoint(edges, max_rounds=iterations)
     decisions = labels.select(F.col("node").alias("vec_id"),
                               F.col("label").alias("component"),
                               (F.col("label") == F.col("node"))
@@ -1677,13 +1786,13 @@ def dedup_embeddings_run(spark, input_path: str, output_dir: str,
         "bands": N_EMB_BANDS, "bucket_cap": cap,
         "pairs": out_pairs.count(),
         "non_canonical": out_dec.filter(~F.col("is_canonical")).count(),
-        "dropped_hot_buckets": n_dropped,
+        "dropped_hot_buckets": n_dropped, **cc,
         "wall_s": round(time.perf_counter() - t0, 3),
     }
 
 
 def dedup_texts_run(spark, input_path: str, output_dir: str,
-                    hamming_max: int = 3, iterations: int = 3,
+                    hamming_max: int = 3, iterations: int = 20,
                     cap: int = EMB_BUCKET_CAP) -> dict:
     """Production simhash near-dup entry point (``cli.py --dedup-texts``):
     the `simhash_band_bits` seam exercised end to end over a (doc_id,
@@ -1695,10 +1804,23 @@ def dedup_texts_run(spark, input_path: str, output_dir: str,
     simhash (`_simhash_bands_from_text_s`) → hot-band-capped candidate
     equi-join → exact hamming <= ``hamming_max`` verify over the full
     4·bits signature (sum of per-band xor popcounts — bands partition
-    the signature) → min-label components → keep-canonical decisions.
-    Sinks land under ``output_dir``; the drop report count is surfaced
-    in the returned metrics (no-silent-caps)."""
+    the signature) → fixpoint min-label components (convergence surfaced
+    in metrics) → keep-canonical decisions.  Sinks land under
+    ``output_dir``; the drop report count is surfaced in the returned
+    metrics (no-silent-caps).
+
+    ``hamming_max`` is bounded by the banding recall guarantee: 4-band
+    pigeonhole only promises a band collision for pairs with hamming
+    <= 3 (bands - 1).  A larger threshold would pass the exact verify
+    but NEVER become a candidate when its flipped bits straddle all 4
+    bands — silent recall loss — so it raises instead (ADVICE r4 #2)."""
     import time
+    if hamming_max > SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"--hamming-max {hamming_max} exceeds the {SIMHASH_BANDS}-band "
+            f"pigeonhole recall guarantee (max {SIMHASH_BANDS - 1}): pairs "
+            "whose flipped bits straddle all bands would silently never "
+            "become candidates.  Use more bands or a lower threshold.")
     t0 = time.perf_counter()
     n_est = estimate_parquet_rows(spark, input_path)
     bits = simhash_band_bits(n_est)
@@ -1732,7 +1854,7 @@ def dedup_texts_run(spark, input_path: str, output_dir: str,
                           F.col("doc_b").alias("dst"))
              .unionByName(pairs.select(F.col("doc_b").alias("src"),
                                        F.col("doc_a").alias("dst"))))
-    labels = _min_label_components(edges, iterations)
+    labels, cc = min_label_components_fixpoint(edges, max_rounds=iterations)
     decisions = labels.select(F.col("node").alias("doc_id"),
                               F.col("label").alias("component"),
                               (F.col("label") == F.col("node"))
@@ -1749,13 +1871,14 @@ def dedup_texts_run(spark, input_path: str, output_dir: str,
         "band_cap": cap,
         "pairs": out_pairs.count(),
         "non_canonical": out_dec.filter(~F.col("is_canonical")).count(),
-        "dropped_hot_bands": n_dropped,
+        "dropped_hot_bands": n_dropped, **cc,
         "wall_s": round(time.perf_counter() - t0, 3),
     }
 
 
-def semantic_cell_pairs(m, cap: int = EMB_BUCKET_CAP):
-    """Intra-cell >=0.98 cosine pairing over assigned rows ``m`` =
+def semantic_cell_pairs(m, cap: int = EMB_BUCKET_CAP,
+                        threshold: float = 0.98):
+    """Intra-cell >=``threshold`` cosine pairing over assigned rows ``m`` =
     (cell, vec_id, qv, nrm), hot-cell capped.  A dense embedding mode —
     boilerplate pages are common in web data — can land millions of
     vectors in ONE k-means cell, going quadratic in the self-join below
@@ -1771,8 +1894,85 @@ def semantic_cell_pairs(m, cap: int = EMB_BUCKET_CAP):
              .filter(F.col("vec_a") < F.col("vec_b"))
              .withColumn("dot", F.expr(DOT_S))
              .withColumn("cos_sim", F.expr(COS))
-             .filter(F.col("cos_sim") >= 0.98))
+             .filter(F.col("cos_sim") >= threshold))
     return pairs, dropped
+
+
+def dedup_semantic_run(spark, input_path: str, output_dir: str,
+                       threshold_pct: int = 98, lloyd_iters: int = 1,
+                       iterations: int = 20, target_cell_size: int = 1024,
+                       cap: int = EMB_BUCKET_CAP) -> dict:
+    """Production SemDeDup entry point (``cli.py --dedup-semantic``,
+    VERDICT r4 item 2): the ``kmeans_k`` derivation seam exercised end to
+    end over a (vec_id, embedding array<float/double>) parquet.
+
+    The registry's ``dedup_semantic`` pins K at the sf default because
+    its DuckDB oracle is a static string; at real corpus sizes K=8 puts
+    every cell over the hot-cell cap and the guard would drop the whole
+    corpus.  Here K is DERIVED from the parquet-footer row estimate
+    (K ~ n / target_cell_size, broadcast-capped — see ``kmeans_k``), so
+    expected cell occupancy stays ~target_cell_size regardless of n.
+
+    Pipeline: footer n → derived K → deterministic seeds (the K lowest
+    vec_ids) → ``lloyd_iters`` Lloyd rounds (broadcast crossJoin +
+    map-side max_by assignment carrying the vector, exact int64 per-dim
+    avg means) → final assignment against the FINAL centroids →
+    hot-cell-capped intra-cell exact-cosine pairing → fixpoint min-label
+    components (convergence surfaced) → keep-canonical decisions.  Sinks
+    (pairs, decisions, dropped_cells) land under ``output_dir``; derived
+    K, expected occupancy, the drop count and the component convergence
+    metrics are all returned (no-silent-caps)."""
+    import time
+    t0 = time.perf_counter()
+    n_est = estimate_parquet_rows(spark, input_path)
+    k = kmeans_k(n_est, target_cell_size)
+    data = (spark.read.parquet(input_path)
+            .select("vec_id", F.expr(QUANT_S).alias("qv")))
+    data = _persist(data)   # read per Lloyd-leg crossJoin + final assign
+    # deterministic seeds: the K lowest vec_ids (TakeOrdered — no full
+    # sort); cell id = the seed's vec_id, as in the registry query
+    cents = (data.orderBy("vec_id").limit(k)
+             .select(F.col("vec_id").alias("cell"),
+                     F.expr("transform(qv, x -> CAST(x AS DOUBLE))")
+                     .alias("cv")))
+    for _ in range(lloyd_iters):
+        joined = _assign_nearest(data, cents, carry_vec=True)
+        avgs = joined.groupBy("cell").agg(
+            *[F.avg(F.col("qv")[i]).alias(f"c{i}") for i in range(EMB_DIM)])
+        cents = avgs.select(
+            "cell", F.array(*[f"c{i}" for i in range(EMB_DIM)]).alias("cv"))
+    m = (_assign_nearest(data, cents, materialize=False, carry_vec=True)
+         .withColumn("nrm", F.expr(
+             "aggregate(zip_with(qv, qv, (x, y) -> x * y), "
+             "0L, (acc, v) -> acc + v)")))
+    pairs, dropped = semantic_cell_pairs(m, cap, threshold_pct / 100.0)
+    pairs = _persist(pairs.select("vec_a", "vec_b", "cos_sim"), fresh=False)
+    edges = (pairs.select(F.col("vec_a").alias("src"),
+                          F.col("vec_b").alias("dst"))
+             .unionByName(pairs.select(F.col("vec_b").alias("src"),
+                                       F.col("vec_a").alias("dst"))))
+    labels, cc = min_label_components_fixpoint(edges, max_rounds=iterations)
+    decisions = labels.select(F.col("node").alias("vec_id"),
+                              F.col("label").alias("component"),
+                              (F.col("label") == F.col("node"))
+                              .alias("is_canonical"))
+    pairs.write.mode("overwrite").parquet(f"{output_dir}/pairs")
+    decisions.write.mode("overwrite").parquet(f"{output_dir}/decisions")
+    dropped.write.mode("overwrite").parquet(f"{output_dir}/dropped_cells")
+    out_pairs = spark.read.parquet(f"{output_dir}/pairs")
+    out_dec = spark.read.parquet(f"{output_dir}/decisions")
+    n_dropped = spark.read.parquet(f"{output_dir}/dropped_cells").count()
+    return {
+        "mode": "dedup_semantic", "n_est": n_est, "k": k,
+        "target_cell_size": target_cell_size,
+        "expected_occupancy": (round(n_est / k, 1) if k else None),
+        "lloyd_iters": lloyd_iters, "cell_cap": cap,
+        "threshold_pct": threshold_pct,
+        "pairs": out_pairs.count(),
+        "non_canonical": out_dec.filter(~F.col("is_canonical")).count(),
+        "dropped_hot_cells": n_dropped, **cc,
+        "wall_s": round(time.perf_counter() - t0, 3),
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -208,3 +208,90 @@ class TestDedupTexts:
         dec = spark.read.parquet(f"{out}/decisions").collect()
         assert {r.doc_id for r in dec if not r.is_canonical} == want_noncanon
         assert metrics["non_canonical"] == len(want_noncanon)
+
+
+class TestDedupSemantic:
+    """Production SemDeDup path (cli --dedup-semantic, VERDICT r4 item 2):
+    the kmeans_k derivation seam end to end, decisions pinned to a
+    brute-force exact-cosine oracle, convergence surfaced."""
+
+    def test_k_derives_from_corpus_size(self):
+        from pdf_extractor_spark.corpus import (K_IVF, KMEANS_K_MAX,
+                                                kmeans_k)
+        assert kmeans_k(10**6) == 977          # ceil(1e6/1024)
+        assert kmeans_k(10**6) > K_IVF         # past the sf default
+        assert kmeans_k(1000) == K_IVF         # fixture floor
+        assert kmeans_k(5) == 5                # never more cells than rows
+        assert kmeans_k(10**9) == KMEANS_K_MAX  # broadcast ceiling
+        assert kmeans_k(0) == K_IVF
+
+    def test_k_derives_from_million_row_footer(self, spark, tmp_path):
+        from pdf_extractor_spark.corpus import (estimate_parquet_rows,
+                                                kmeans_k)
+        p = str(tmp_path / "emb1m")
+        (spark.range(10**6).select(
+            F.col("id").alias("vec_id"),
+            F.expr("transform(sequence(1, 64), i -> CAST(0.01 AS FLOAT))")
+            .alias("embedding"))
+         .write.parquet(p))
+        assert kmeans_k(estimate_parquet_rows(spark, p)) == 977
+
+    def test_cli_decisions_match_bruteforce(self, spark, tmp_path, capsys):
+        """Engineered input: sf0.001 embeddings ∪ EXACT copies of
+        vec_id%4==0 (identical qv ⇒ identical centroid cosines ⇒ the
+        deterministic tie-break assigns both to the same cell, so every
+        dup pair is guaranteed intra-cell).  Produced pairs must be a
+        subset of the brute-force >=0.98 oracle (verify is exact) and a
+        superset of the planted exact dups; decisions must equal the
+        fixpoint min-label over the produced pairs."""
+        from pdf_extractor_spark.corpus import kmeans_k
+        inp = str(tmp_path / "sem_in")
+        out = str(tmp_path / "sem_out")
+        e = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+             .select("vec_id", "embedding"))
+        dup = (e.filter(F.col("vec_id") % 4 == 0)
+               .select((F.col("vec_id") + 100000).alias("vec_id"),
+                       "embedding"))
+        e.unionByName(dup).write.parquet(inp)
+
+        from pdf_extractor_spark.cli import main
+        # --target-cell-size 64 pushes the derived K past the sf floor
+        # at fixture scale (the 10^6-footer test covers the big-n leg)
+        rc = main(["--dedup-semantic", inp, "--output", out,
+                   "--target-cell-size", "64"])
+        assert rc == 0
+        metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert metrics["mode"] == "dedup_semantic"
+        assert metrics["k"] == kmeans_k(metrics["n_est"], 64)
+        assert metrics["k"] > 8                  # derived, not pinned
+        assert metrics["dropped_hot_cells"] == 0
+        assert metrics["cc_converged"] is True
+
+        q = (spark.read.parquet(inp)
+             .select("vec_id", F.expr(QUANT_S).alias("qv"))
+             .withColumn("nrm", F.expr(
+                 "aggregate(zip_with(qv, qv, (x, y) -> x * y), "
+                 "0L, (acc, v) -> acc + v)")))
+        a = q.select(F.col("vec_id").alias("vec_a"),
+                     F.col("qv").alias("qa"), F.col("nrm").alias("na"))
+        y = q.select(F.col("vec_id").alias("vec_b"),
+                     F.col("qv").alias("qb"), F.col("nrm").alias("nb"))
+        brute = (a.crossJoin(y).filter(F.col("vec_a") < F.col("vec_b"))
+                 .withColumn("dot", F.expr(DOT_S))
+                 .withColumn("cos_sim", F.expr(COS))
+                 .filter(F.col("cos_sim") >= 0.98))
+        want_all = {(r.vec_a, r.vec_b) for r in brute.collect()}
+        planted = {(r.vec_id, r.vec_id + 100000)
+                   for r in e.filter(F.col("vec_id") % 4 == 0).collect()}
+        got = {(r.vec_a, r.vec_b)
+               for r in spark.read.parquet(f"{out}/pairs").collect()}
+        assert planted, "fixture must plant exact duplicates"
+        assert planted <= got          # same-cell guarantee for exact dups
+        assert got <= want_all         # exact verify: no false positives
+        assert metrics["pairs"] == len(got)
+
+        label, _hops = _fixpoint_labels(got)
+        want_noncanon = {v for v, l in label.items() if l != v}
+        dec = spark.read.parquet(f"{out}/decisions").collect()
+        assert {r.vec_id for r in dec if not r.is_canonical} == want_noncanon
+        assert metrics["non_canonical"] == len(want_noncanon)
