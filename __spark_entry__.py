@@ -35,9 +35,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL for every SQL-expressible query; rows-only ops
-    (Arrow-batched extraction / multimodal decode) are omitted by design —
-    their exact-parity gate is tests/test_extract_spark.py vs the
-    pure-Python oracle."""
+    """DuckDB oracle SQL for every registered query — 50/50.  The one
+    non-SQL-expressible chain (extract_pipeline) checks against a
+    persisted pure-Python-oracle golden parquet keyed by
+    (doc_id, md5(text)) (regen: tests/gen_extract_golden.py); its
+    stronger exact-parity gate is tests/test_extract_spark.py."""
     return {name: spec.sql for name, spec in sorted(REGISTRY.items())
             if spec.sql is not None}

@@ -2341,12 +2341,24 @@ def multimodal_meta_features(spark, sf_dir):
 
 @register(
     "extract_pipeline",
-    sql=None,  # the per-doc heuristic chain is not SQL-expressible;
-               # exact-parity is enforced by tests/test_extract_spark.py
-               # against the pure-Python oracle (BASELINE.json north_rule)
+    # The per-doc heuristic chain is not SQL-expressible, so the DuckDB
+    # oracle is a PERSISTED GOLDEN: the pure-Python oracle's span output
+    # over every driver documents row (regen: tests/gen_extract_golden.py),
+    # keyed by (src_doc_id, md5(text)) because spans are a pure function of
+    # that pair and doc_ids collide across scales with different texts.
+    # Exact north-rule parity is additionally enforced by
+    # tests/test_extract_spark.py against the same pure-Python oracle.
+    sql="""
+    SELECT g.doc_id, g.kind, g.text, g.media_ref, g.offset
+    FROM read_parquet('/root/repo/tests/golden/extract_spans.parquet') g
+    JOIN documents d
+      ON d.doc_id = g.src_doc_id
+     AND md5(COALESCE(d.text, '')) = g.text_md5
+    """,
     doc="flagship: full interleaved-document extraction (SURVEY.md §2.2-§2.10 "
         "chain inside one Arrow-batched stage, skew-salted, one shuffle); "
-        "corpus derived deterministically from the driver documents parquet",
+        "corpus derived deterministically from the driver documents parquet; "
+        "oracle = persisted pure-Python-oracle golden (VERDICT r4 item 3)",
 )
 def extract_pipeline(spark, sf_dir):
     from .operators.extraction import INPUT_SCHEMA, extract_operator
