@@ -4,11 +4,18 @@ JSON line::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is the end-to-end wall seconds over all headline queries;
+``value`` is the suite wall seconds (sum of per-query medians);
 ``extract_docs_per_sec`` reports the flagship extraction throughput
 (BASELINE.json metric).  Every query is fully materialized via the JVM-side
 ``noop`` sink so lazy plans can't fake speed (a ``count()`` would let Spark
 prune the computed columns away).
+
+Noise protocol (VERDICT r4 item 4): the whole suite runs ``--repeat``
+INTERLEAVED rounds (round-robin over queries, the same matched-window
+discipline as bench/scaling.py) and each query reports its MEDIAN, plus a
+per-query ``[min, max]`` band under ``queries_band`` — a cross-round delta
+inside the band is host noise, not a regression; r4 lost a round of perf
+signal to exactly that (flagship −15 % with zero code change behind it).
 
 Usage: python bench.py [--sf-dir DIR] [--master local[N]] [--queries a,b,c]
 """
@@ -18,6 +25,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -33,7 +41,8 @@ def main(argv=None) -> int:
     ap.add_argument("--master", default=None)
     ap.add_argument("--queries", default=None,
                     help="comma-separated subset (default: all registered)")
-    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--repeat", type=int, default=3,
+                    help="interleaved rounds; per-query median is reported")
     args = ap.parse_args(argv)
 
     from pdf_extractor_spark.queries import REGISTRY
@@ -58,27 +67,31 @@ def main(argv=None) -> int:
         names.remove("extract_pipeline")
         names.insert(0, "extract_pipeline")
 
-    timings: dict[str, float] = {}
+    reps: dict[str, list[float]] = {n: [] for n in names}
     t_all = time.perf_counter()
-    for name in names:
-        best = None
-        for _ in range(args.repeat):
+    for _round in range(max(1, args.repeat)):
+        for name in names:
             t0 = time.perf_counter()
             materialize(REGISTRY[name].spark(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        spark.catalog.clearCache()  # one query's persists must not tax the next
-    total = round(time.perf_counter() - t_all, 3)
+            reps[name].append(time.perf_counter() - t0)
+            spark.catalog.clearCache()  # a query's persists must not tax the next
+    wall_all = round(time.perf_counter() - t_all, 3)
+    timings = {n: round(statistics.median(r), 3) for n, r in reps.items()}
+    bands = {n: [round(min(r), 3), round(max(r), 3)] for n, r in reps.items()}
+    total = round(sum(timings.values()), 3)
 
     extract_s = timings.get("extract_pipeline")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
-        "metric": "end-to-end wall seconds over all registered queries "
-                  "(extraction + relational + dedup/ANN/text corpus ops)",
+        "metric": "suite wall seconds over all registered queries "
+                  "(extraction + relational + dedup/ANN/text corpus ops); "
+                  "per-query median over interleaved rounds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_band": bands,
+        "reps": max(1, args.repeat),
+        "wall_s_all_reps": wall_all,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
         "docs": n_docs,

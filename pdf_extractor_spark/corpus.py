@@ -1082,22 +1082,41 @@ def emb_lsh_geometry(n_est: int, target_occupancy: int = 64,
     return max(min_ppb, need)
 
 
-def _occupancy_capped(df, keys: list, cap: int = EMB_BUCKET_CAP):
+def _occupancy_capped(df, keys: list, cap: int = EMB_BUCKET_CAP,
+                      skew_safe: bool = False):
     """Split ``df`` into (kept, dropped_report) by blocking-key occupancy.
     dropped_report = (*keys, bsz) for blocks over the cap — BOUNDED small
     by construction (only pathological blocks exceed 4096).  Guards every
     intra-block self-join in this module (LSH buckets, k-means cells)
     against a degenerate data region going quadratic.
 
-    SINGLE-EXCHANGE form: one shuffle by the blocking keys, occupancy
-    counted with a window over that same partitioning, split persisted —
-    so the downstream intra-block self-join (and the drop report) reuse
-    the exchange instead of re-shuffling.  The r3 form (separate
-    map-side-combinable occupancy aggregate + broadcast anti-join) was
-    the `dedup_embedding_cosine` 2.61 → 4.21 s regression: the broadcast
-    forces an extra job over the exploded rows before the main one.
-    Measured interleaved at sf0.1 (bench/emb_cosine_probe.py): uncapped
-    self-join 2.21 s, r3 form 3.82 s, this form 2.63 s."""
+    Default SINGLE-EXCHANGE form: one shuffle by the blocking keys,
+    occupancy counted with a window over that same partitioning, split
+    persisted — so the downstream intra-block self-join (and the drop
+    report) reuse the exchange instead of re-shuffling.  Measured
+    interleaved at sf0.1 (bench/emb_cosine_probe.py): uncapped self-join
+    2.21 s, aggregate+anti-join form 3.82 s, this form 2.63 s.
+
+    ``skew_safe=True`` (VERDICT r4 item 5, the production escape hatch):
+    the window form buffers each block's rows in ONE WindowExec task
+    before the over-cap filter runs — the multi-million-row pathological
+    block the cap exists for is exactly the one that concentrates in a
+    single straggler.  The skew-safe form counts with a hash aggregate
+    instead: partial counts combine MAP-SIDE before the exchange, so no
+    task ever ingests a whole hot key (per-key reducer input = one thin
+    partial row per map task), the over-cap key set is tiny by
+    construction, and the kept split is a broadcast anti-join against it.
+    Costs one extra job over the exploded rows (~1.4× in-suite at sf0.1,
+    where no block is hot), which is why it is a flag and not the
+    default; at the 10⁸-duplicate design point it is the only form whose
+    max task input is bounded."""
+    if skew_safe:
+        df = _persist(df, fresh=False)
+        dropped = (df.groupBy(*keys).agg(F.count("*").alias("bsz"))
+                   .filter(F.col("bsz") > cap))
+        dropped = _persist(dropped, fresh=False)
+        kept = df.join(F.broadcast(dropped.select(*keys)), keys, "left_anti")
+        return kept, dropped
     sized = df.withColumn("bsz", F.count("*").over(W.partitionBy(*keys)))
     sized = _persist(sized, fresh=False)
     kept = sized.filter(F.col("bsz") <= cap).drop("bsz")
@@ -1106,12 +1125,13 @@ def _occupancy_capped(df, keys: list, cap: int = EMB_BUCKET_CAP):
     return kept, dropped
 
 
-def _bucket_capped(ex, cap: int = EMB_BUCKET_CAP):
+def _bucket_capped(ex, cap: int = EMB_BUCKET_CAP, skew_safe: bool = False):
     """(kept, dropped) over exploded band rows (vec_id, band_idx, bucket)."""
-    return _occupancy_capped(ex, ["band_idx", "bucket"], cap)
+    return _occupancy_capped(ex, ["band_idx", "bucket"], cap, skew_safe)
 
 
-def emb_band_candidates(b, cap: int = EMB_BUCKET_CAP):
+def emb_band_candidates(b, cap: int = EMB_BUCKET_CAP,
+                        skew_safe: bool = False):
     """Candidate near-dup pairs from banded sign-LSH rows ``b`` =
     (vec_id, bands, ...), hot-bucket capped.  Returns (cand, dropped):
     cand = distinct (vec_a < vec_b) pairs agreeing on any surviving band
@@ -1119,7 +1139,7 @@ def emb_band_candidates(b, cap: int = EMB_BUCKET_CAP):
     cells (no-silent-caps: the caller surfaces it — empty at every sf
     fixture, so registry oracles are unaffected)."""
     ex = b.select("vec_id", F.posexplode("bands").alias("band_idx", "bucket"))
-    kept, dropped = _bucket_capped(ex, cap)
+    kept, dropped = _bucket_capped(ex, cap, skew_safe)
     a, y = kept.alias("a"), kept.alias("y")
     cand = (
         a.join(y, (F.col("a.band_idx") == F.col("y.band_idx"))
@@ -1441,6 +1461,79 @@ def _assign_nearest(data, cents_df, materialize: bool = True,
     return _materialize(_persist(step, fresh=False))
 
 
+# Above this K, the literal-centroid assignment's plan (K x 64 literal
+# doubles + K HOF evaluations per row) stops being worth building; the
+# broadcast-crossJoin _assign_nearest takes over.  Well under the
+# KMEANS_K_MAX broadcast ceiling by design.
+LIT_CENTS_MAX = 256
+
+
+def _cents_rows(cents_df) -> list:
+    """Collect a (cell, cv) centroid table to the driver, sorted by cell
+    (deterministic plan).  Bounded: K <= KMEANS_K_MAX by the derivation
+    in ``kmeans_k``, so this is the classic Lloyd structure (MLlib's
+    KMeans collects centers every iteration the same way) — NOT a
+    driver-side loop over data."""
+    return sorted((int(r["cell"]), [float(x) for x in r["cv"]])
+                  for r in cents_df.collect())
+
+
+def _assign_cell_lit(rows):
+    """Nearest-centroid cell as ONE PROJECTION over a literal centroid
+    array — zero shuffle (VERDICT r4 item 6).
+
+    The crossJoin+max_by form re-shuffles n (vec_id, cell, qv) rows by
+    vec_id every Lloyd round; with the centroids collected driver-side
+    (bounded, see ``_cents_rows``) the argmax folds entirely inside the
+    scan task: transform the literal array to (ccos, -cell, cell)
+    structs, array_max picks (ccos desc, cell asc) — the identical
+    ordering struct ``_assign_nearest`` maximizes, with the identical
+    left-to-right double fold as ``_CDOT_S``/``_CNRM_S``, so assignments
+    are bit-identical to the crossJoin form and the DuckDB oracle."""
+    arr = F.array(*[
+        F.struct(F.lit(c).cast("long").alias("cell"),
+                 F.array(*[F.lit(v) for v in cv]).alias("cv"))
+        for c, cv in rows])
+
+    def ccos(c):
+        dot = F.aggregate(
+            F.zip_with(F.col("qv"), c.getField("cv"),
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, v: acc + v)
+        nrm = F.sqrt(F.aggregate(
+            F.zip_with(c.getField("cv"), c.getField("cv"),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, v: acc + v))
+        return dot / nrm
+
+    cands = F.transform(arr, lambda c: F.struct(
+        ccos(c).alias("c"), (-c.getField("cell")).alias("nc"),
+        c.getField("cell").alias("cell")))
+    return F.array_max(cands).getField("cell")
+
+
+def _lloyd_lit(spark, data, seed_cents, rounds: int):
+    """Lloyd training with driver-collected centroids (small-K path,
+    K <= LIT_CENTS_MAX): each round is scan -> zero-shuffle literal
+    argmax projection -> per-cell exact int64 avgs (map-side partials,
+    the exchange carries K x 64 sums per map partition) -> K-row collect.
+    No n-row exchange and no assignment materialization barrier exist
+    anywhere in the round.  Returns (cents_df, assign): the final
+    centroid table (a literal createDataFrame, so consumers never
+    re-run training lineage) and the final lazy assignment
+    (vec_id, qv, cell) against those FINAL centroids."""
+    rows = _cents_rows(seed_cents)
+    for _ in range(rounds):
+        joined = data.withColumn("cell", _assign_cell_lit(rows))
+        avgs = joined.groupBy("cell").agg(
+            *[F.avg(F.col("qv")[i]).alias(f"c{i}") for i in range(EMB_DIM)])
+        rows = _cents_rows(avgs.select(
+            "cell", F.array(*[f"c{i}" for i in range(EMB_DIM)]).alias("cv")))
+    cents = spark.createDataFrame(rows, "cell long, cv array<double>")
+    assign = data.withColumn("cell", _assign_cell_lit(rows))
+    return cents, assign
+
+
 @register(
     "ann_ivf_kmeans",
     sql=f"""
@@ -1494,34 +1587,19 @@ def ann_ivf_kmeans(spark, sf_dir):
          .select("vec_id", F.expr(QUANT_S).alias("qv")))
     data = e.filter(F.col("vec_id") >= 3)
     data = _persist(data)
-    cents = (e.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 3 + K_IVF))
+    seeds = (e.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 3 + K_IVF))
              .select((F.col("vec_id") - 3).alias("cell"),
                      F.expr("transform(qv, x -> CAST(x AS DOUBLE))").alias("cv")))
-    for _ in range(2):
-        # per-cell means as EMB_DIM scalar avg aggregates over the intact
-        # array column — no posexplode (the r2 form shuffled n·64 rows just
-        # to average); each avg partial-aggregates map-side, so the
-        # exchange carries K·64 sums per map partition.  avg over the
-        # int64-quantized values is exact (partial sums are integers well
-        # below 2^53), hence order-independent and oracle-stable.
-        # carry_vec: the assignment brings qv along, so no data re-join
-        joined = _assign_nearest(data, cents, carry_vec=True)
-        avgs = joined.groupBy("cell").agg(
-            *[F.avg(F.col("qv")[i]).alias(f"c{i}") for i in range(EMB_DIM)])
-        # cents is consumed exactly once per round (next assignment, or the
-        # final probe), so unlike the assignments it needs no materialize —
-        # its lineage is cut by the persisted assignment it reads from
-        cents = avgs.select(
-            "cell", F.array(*[f"c{i}" for i in range(EMB_DIM)]).alias("cv"))
-    # FINAL assignment against the FINAL centroids: the probe below ranks
-    # cells by cent2 geometry, so the stored cell membership must use the
-    # same centroids — retrieving via the last training assignment (built
-    # against cent1) would silently miss vectors whose nearest centroid
-    # moved in the last mean update.  Consumed exactly once (the scorer),
-    # so no materialization barrier (VERDICT r3 item 5); carries qv so
-    # the scorer needs no data re-join
-    assign_last = _assign_nearest(data, cents, materialize=False,
-                                  carry_vec=True)
+    # Driver-collected literal-centroid Lloyd (VERDICT r4 item 6): K=8
+    # is far under LIT_CENTS_MAX, so each round is a zero-shuffle argmax
+    # projection + per-cell exact int64 avgs (map-side partials; the one
+    # exchange carries K·64 sums per map partition) + a K-row collect —
+    # the crossJoin form's n-row assignment exchange and per-round
+    # materialization barrier are both gone.  The FINAL assignment is
+    # against the FINAL centroids (the probe ranks cells by cent2
+    # geometry, so membership must use the same centroids) and stays
+    # lazy: its sole consumer is the scorer.
+    cents, assign_last = _lloyd_lit(spark, data, seeds, rounds=2)
     q = (e.filter(F.col("vec_id") < 3)
          .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"))
          .withColumn("na", F.expr(
@@ -1688,24 +1766,18 @@ def dedup_semantic(spark, sf_dir):
             .select((F.col("vec_id") + 100000).alias("vec_id"),
                     perturbed.alias("qv")))
     )
-    data = _persist(data)  # read per Lloyd-leg crossJoin (union not re-run)
-    cents = (e.filter(F.col("vec_id") < K_IVF)
+    data = _persist(data)  # read per Lloyd round + final assignment
+    seeds = (e.filter(F.col("vec_id") < K_IVF)
              .select(F.col("vec_id").alias("cell"),
                      F.expr("transform(qv, x -> CAST(x AS DOUBLE))").alias("cv")))
-    # 1 Lloyd iteration: assign to seeds, recompute per-cell means (exact
-    # int64 avgs — order-independent, oracle-stable; see ann_ivf_kmeans)
-    joined = _assign_nearest(data, cents, carry_vec=True)
-    avgs = joined.groupBy("cell").agg(
-        *[F.avg(F.col("qv")[i]).alias(f"c{i}") for i in range(EMB_DIM)])
-    cents = avgs.select(
-        "cell", F.array(*[f"c{i}" for i in range(EMB_DIM)]).alias("cv"))
-    # final assignment: consumed only by m — no materialization barrier
-    # (VERDICT r3 item 5).  m itself needs no persist either: its sole
-    # consumer is semantic_cell_pairs, whose occupancy split persists the
-    # cell-partitioned form both self-join sides read from.
-    m = (_assign_nearest(data, cents, materialize=False, carry_vec=True)
-         .withColumn("nrm", F.expr(
-             "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")))
+    # 1 Lloyd iteration, driver-collected literal centroids (zero-shuffle
+    # assignment; exact int64 avgs — order-independent, oracle-stable;
+    # see _lloyd_lit / ann_ivf_kmeans).  The final assignment is lazy:
+    # its sole consumer is semantic_cell_pairs, whose occupancy split
+    # persists the cell-partitioned form both self-join sides read from.
+    _cents, assigned = _lloyd_lit(spark, data, seeds, rounds=1)
+    m = assigned.withColumn("nrm", F.expr(
+        "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
     pairs, _dropped = semantic_cell_pairs(m)
     # _dropped is provably empty at sf geometry (cap 4096 >> any fixture
     # cell), so the DuckDB oracle sees identical pairs; a production
@@ -1723,7 +1795,8 @@ def estimate_parquet_rows(spark, path: str) -> int:
 
 def dedup_embeddings_run(spark, input_path: str, output_dir: str,
                          threshold_pct: int = 98, iterations: int = 20,
-                         cap: int = EMB_BUCKET_CAP) -> dict:
+                         cap: int = EMB_BUCKET_CAP,
+                         skew_safe: bool = False) -> dict:
     """Production embedding near-dup entry point (``cli.py
     --dedup-embeddings``): the derived-geometry seam exercised end to end.
 
@@ -1753,7 +1826,7 @@ def dedup_embeddings_run(spark, input_path: str, output_dir: str,
              "aggregate(zip_with(qv, qv, (x, y) -> x * y), "
              "0L, (acc, v) -> acc + v)")))
     b = _persist(b)   # band explode + both verify re-joins
-    cand, dropped = emb_band_candidates(b, cap)
+    cand, dropped = emb_band_candidates(b, cap, skew_safe)
     va = b.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"),
                   F.col("nrm").alias("na"))
     vb = b.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"),
@@ -1786,14 +1859,15 @@ def dedup_embeddings_run(spark, input_path: str, output_dir: str,
         "bands": N_EMB_BANDS, "bucket_cap": cap,
         "pairs": out_pairs.count(),
         "non_canonical": out_dec.filter(~F.col("is_canonical")).count(),
-        "dropped_hot_buckets": n_dropped, **cc,
+        "dropped_hot_buckets": n_dropped, "skew_safe": skew_safe, **cc,
         "wall_s": round(time.perf_counter() - t0, 3),
     }
 
 
 def dedup_texts_run(spark, input_path: str, output_dir: str,
                     hamming_max: int = 3, iterations: int = 20,
-                    cap: int = EMB_BUCKET_CAP) -> dict:
+                    cap: int = EMB_BUCKET_CAP,
+                    skew_safe: bool = False) -> dict:
     """Production simhash near-dup entry point (``cli.py --dedup-texts``):
     the `simhash_band_bits` seam exercised end to end over a (doc_id,
     text) parquet.
@@ -1831,7 +1905,8 @@ def dedup_texts_run(spark, input_path: str, output_dir: str,
     sigs = _persist(sigs)   # band explode + both verify legs
     ex = sigs.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_bits"))
-    kept, dropped = _occupancy_capped(ex, ["band_idx", "band_bits"], cap)
+    kept, dropped = _occupancy_capped(ex, ["band_idx", "band_bits"],
+                                      cap, skew_safe)
     a, b = kept.alias("a"), kept.alias("b")
     cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                    & (F.col("a.band_bits") == F.col("b.band_bits"))
@@ -1871,13 +1946,14 @@ def dedup_texts_run(spark, input_path: str, output_dir: str,
         "band_cap": cap,
         "pairs": out_pairs.count(),
         "non_canonical": out_dec.filter(~F.col("is_canonical")).count(),
-        "dropped_hot_bands": n_dropped, **cc,
+        "dropped_hot_bands": n_dropped, "skew_safe": skew_safe, **cc,
         "wall_s": round(time.perf_counter() - t0, 3),
     }
 
 
 def semantic_cell_pairs(m, cap: int = EMB_BUCKET_CAP,
-                        threshold: float = 0.98):
+                        threshold: float = 0.98,
+                        skew_safe: bool = False):
     """Intra-cell >=``threshold`` cosine pairing over assigned rows ``m`` =
     (cell, vec_id, qv, nrm), hot-cell capped.  A dense embedding mode —
     boilerplate pages are common in web data — can land millions of
@@ -1885,7 +1961,7 @@ def semantic_cell_pairs(m, cap: int = EMB_BUCKET_CAP,
     no matter what K is; cells over the cap are excluded from pairing and
     RETURNED as (cell, bsz) (the no-silent-caps rule: callers surface the
     report).  Same guard as the sibling LSH path's _bucket_capped."""
-    kept, dropped = _occupancy_capped(m, ["cell"], cap)
+    kept, dropped = _occupancy_capped(m, ["cell"], cap, skew_safe)
     a = kept.select("cell", F.col("vec_id").alias("vec_a"),
                     F.col("qv").alias("qa"), F.col("nrm").alias("na"))
     y = kept.select("cell", F.col("vec_id").alias("vec_b"),
@@ -1901,7 +1977,8 @@ def semantic_cell_pairs(m, cap: int = EMB_BUCKET_CAP,
 def dedup_semantic_run(spark, input_path: str, output_dir: str,
                        threshold_pct: int = 98, lloyd_iters: int = 1,
                        iterations: int = 20, target_cell_size: int = 1024,
-                       cap: int = EMB_BUCKET_CAP) -> dict:
+                       cap: int = EMB_BUCKET_CAP,
+                       skew_safe: bool = False) -> dict:
     """Production SemDeDup entry point (``cli.py --dedup-semantic``,
     VERDICT r4 item 2): the ``kmeans_k`` derivation seam exercised end to
     end over a (vec_id, embedding array<float/double>) parquet.
@@ -1928,24 +2005,37 @@ def dedup_semantic_run(spark, input_path: str, output_dir: str,
     k = kmeans_k(n_est, target_cell_size)
     data = (spark.read.parquet(input_path)
             .select("vec_id", F.expr(QUANT_S).alias("qv")))
-    data = _persist(data)   # read per Lloyd-leg crossJoin + final assign
+    data = _persist(data)   # read per Lloyd round + final assignment
     # deterministic seeds: the K lowest vec_ids (TakeOrdered — no full
     # sort); cell id = the seed's vec_id, as in the registry query
-    cents = (data.orderBy("vec_id").limit(k)
+    seeds = (data.orderBy("vec_id").limit(k)
              .select(F.col("vec_id").alias("cell"),
                      F.expr("transform(qv, x -> CAST(x AS DOUBLE))")
                      .alias("cv")))
-    for _ in range(lloyd_iters):
-        joined = _assign_nearest(data, cents, carry_vec=True)
-        avgs = joined.groupBy("cell").agg(
-            *[F.avg(F.col("qv")[i]).alias(f"c{i}") for i in range(EMB_DIM)])
-        cents = avgs.select(
-            "cell", F.array(*[f"c{i}" for i in range(EMB_DIM)]).alias("cv"))
-    m = (_assign_nearest(data, cents, materialize=False, carry_vec=True)
-         .withColumn("nrm", F.expr(
-             "aggregate(zip_with(qv, qv, (x, y) -> x * y), "
-             "0L, (acc, v) -> acc + v)")))
-    pairs, dropped = semantic_cell_pairs(m, cap, threshold_pct / 100.0)
+    if k <= LIT_CENTS_MAX:
+        # small derived K: driver-collected literal centroids, zero-
+        # shuffle assignment per round (see _lloyd_lit)
+        _cents, assigned = _lloyd_lit(spark, data, seeds, lloyd_iters)
+    else:
+        # large derived K: broadcast-crossJoin assignment (map-side
+        # max_by carrying the vector, one n-row exchange per round) —
+        # a K x 64-double literal plan stops being worth building here
+        cents = seeds
+        for _ in range(lloyd_iters):
+            joined = _assign_nearest(data, cents, carry_vec=True)
+            avgs = joined.groupBy("cell").agg(
+                *[F.avg(F.col("qv")[i]).alias(f"c{i}")
+                  for i in range(EMB_DIM)])
+            cents = avgs.select(
+                "cell",
+                F.array(*[f"c{i}" for i in range(EMB_DIM)]).alias("cv"))
+        assigned = _assign_nearest(data, cents, materialize=False,
+                                   carry_vec=True)
+    m = assigned.withColumn("nrm", F.expr(
+        "aggregate(zip_with(qv, qv, (x, y) -> x * y), "
+        "0L, (acc, v) -> acc + v)"))
+    pairs, dropped = semantic_cell_pairs(m, cap, threshold_pct / 100.0,
+                                         skew_safe)
     pairs = _persist(pairs.select("vec_a", "vec_b", "cos_sim"), fresh=False)
     edges = (pairs.select(F.col("vec_a").alias("src"),
                           F.col("vec_b").alias("dst"))
@@ -1970,7 +2060,7 @@ def dedup_semantic_run(spark, input_path: str, output_dir: str,
         "threshold_pct": threshold_pct,
         "pairs": out_pairs.count(),
         "non_canonical": out_dec.filter(~F.col("is_canonical")).count(),
-        "dropped_hot_cells": n_dropped, **cc,
+        "dropped_hot_cells": n_dropped, "skew_safe": skew_safe, **cc,
         "wall_s": round(time.perf_counter() - t0, 3),
     }
 
