@@ -159,6 +159,14 @@ def main(argv: list[str] | None = None) -> int:
                          "when no block is hot, but no task ever ingests a "
                          "whole pathological block (use when the corpus has "
                          "multi-million-row duplicate regions)")
+    ap.add_argument("--sql-sig", action="store_true",
+                    help="compute the --dedup-texts simhash / the "
+                         "--dedup-embeddings LSH bands + verify dots with "
+                         "the SQL expression forms instead of the Arrow-"
+                         "batched numpy default (bit-identical; the SQL "
+                         "HOF chains are CodegenFallback — interpreted "
+                         "row-at-a-time, ~10-40x slower per row — so this "
+                         "exists only to cross-check the two paths)")
     ap.add_argument("--cc-iterations", type=int, default=20,
                     help="max min-label propagation rounds for the dedup "
                          "component labeling; the run iterates to fixpoint "
@@ -202,7 +210,8 @@ def main(argv: list[str] | None = None) -> int:
         metrics = dedup_embeddings_run(
             spark, args.dedup_embeddings, args.output,
             threshold_pct=args.threshold_pct,
-            iterations=args.cc_iterations, skew_safe=args.skew_safe)
+            iterations=args.cc_iterations, skew_safe=args.skew_safe,
+            arrow_sig=not args.sql_sig)
         print(json.dumps(metrics))
         return 0
 
@@ -211,7 +220,8 @@ def main(argv: list[str] | None = None) -> int:
         metrics = dedup_texts_run(spark, args.dedup_texts, args.output,
                                   hamming_max=args.hamming_max,
                                   iterations=args.cc_iterations,
-                                  skew_safe=args.skew_safe)
+                                  skew_safe=args.skew_safe,
+                                  arrow_sig=not args.sql_sig)
         print(json.dumps(metrics))
         return 0
 

@@ -437,6 +437,85 @@ def _simhash_bands_from_text_s(bits: int) -> str:
                 let1(votes, "vt", band))
 
 
+def _simhash_bands_batch(texts, bits: int):
+    """Arrow-batch numpy replica of `_simhash_bands_from_text_s` —
+    bit-identical by construction (hypothesis-fuzzed and Spark-level
+    parity-tested in tests/test_sig_parity.py), ~10-40x faster per row.
+
+    Why a Python path beats the built-in expression HERE: every
+    higher-order function (transform/aggregate/zip_with) is
+    CodegenFallback in Spark — the per-word/per-bit vote fold runs in
+    Catalyst's row-at-a-time INTERPRETER, never whole-stage codegen
+    (verified by thread-dumping a 2.4M-row production run: all 32
+    executor threads inside ArrayTransform.eval/ZipWith.eval, ~19
+    core-ms/row).  The rewrite keeps md5 in C (hashlib) and folds the
+    votes as three numpy ops over ALL words of the batch at once
+    (nibble split -> ±1 vote matrix -> per-doc reduceat), so the hot
+    loop is one md5 call per word — the "UDFs are the slow path" rule
+    inverts when the built-in path is an interpreted HOF chain.
+
+    Returns a list aligned to ``texts``: array of 4 int64 band values,
+    or None for word-less docs (callers filter those out beforehand)."""
+    import hashlib
+
+    import numpy as np
+
+    need2 = bits > 32
+    counts: list[int] = []
+    digests: list[bytes] = []
+    for t in texts:
+        ws = [w for w in (t.split(" ") if t is not None else []) if w]
+        counts.append(len(ws))
+        for w in ws:
+            b = w.encode("utf-8")
+            d = hashlib.md5(b).digest()
+            if need2:
+                d += hashlib.md5(b"#" + b).digest()
+            digests.append(d)
+    out: list = [None] * len(counts)
+    if not digests:
+        return out
+    raw = np.frombuffer(b"".join(digests), dtype=np.uint8)
+    raw = raw.reshape(len(digests), 32 if need2 else 16)
+    # hexdigest digit d = high nibble of byte d//2 when d is even
+    nib = np.empty((raw.shape[0], raw.shape[1] * 2), np.uint8)
+    nib[:, 0::2] = raw >> 4
+    nib[:, 1::2] = raw & 15
+    nib = nib[:, :bits]
+    # vote matrix index i = 4*d + r <=> bit r of hex digit d — the same
+    # flat order the SQL form's sequence(1, 4*bits) lambda walks
+    bv = (nib[:, :, None] >> np.arange(4, dtype=np.uint8)) & 1
+    pm = bv.reshape(bv.shape[0], 4 * bits).astype(np.int32) * 2 - 1
+    nw = np.asarray(counts, dtype=np.int64)
+    nz = np.flatnonzero(nw)
+    offs = np.zeros(len(nz), dtype=np.int64)
+    np.cumsum(nw[nz][:-1], out=offs[1:])
+    votes = np.add.reduceat(pm, offs, axis=0)
+    bitset = votes > 0
+    weights = np.left_shift(np.int64(1), np.arange(bits, dtype=np.int64))
+    bands = (bitset.reshape(-1, SIMHASH_BANDS, bits) * weights).sum(
+        axis=2, dtype=np.int64)
+    for row, i in zip(bands, nz):
+        out[int(i)] = row
+    return out
+
+
+def simhash_bands_udf(bits: int):
+    """`_simhash_bands_batch` as an Arrow-batched pandas UDF column —
+    the production signature path (`dedup_texts_run`).  The SQL
+    expression form stays as the registry/oracle reference and the
+    parity gate."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and the lazy pandas import is not resolvable at decoration
+    def _batch(texts):
+        return pd.Series(_simhash_bands_batch(texts.tolist(), bits))
+
+    return F.pandas_udf(_batch, ArrayType(LongType()))
+
+
 def _simhash_from_text_s(nbits: int = 16) -> str:
     """Spark-side simhash straight from `text`, ONE pass over the word
     digests: aggregate folds every md5 into an nbits-wide vote vector
@@ -1227,6 +1306,67 @@ def _bands_array_s(vec: str, ppb: int):
                      for k in range(N_EMB_BANDS)])
 
 
+def _sign_matrix(ppb: int):
+    """(EMB_DIM, N_EMB_BANDS*ppb) ±1 plane matrix, column h = plane h —
+    the same md5-seeded planes `_plane_dot` inlines as SQL literals."""
+    import numpy as np
+    return np.asarray([_plane_signs(h) for h in range(N_EMB_BANDS * ppb)],
+                      dtype=np.int64).T
+
+
+def emb_bands_nrm_udf(ppb: int):
+    """Sign-LSH band buckets + int64 self-norm in ONE Arrow pass over the
+    quantized vectors — the production banding path
+    (`dedup_embeddings_run`).  Bit-identical to `_bands_array_s` +- the
+    SQL norm fold BY CONSTRUCTION: the plane dots and the self-dot are
+    integer-valued and < 2^53, so every float64 summation order (numpy
+    matmul included) yields the exact same value as the sequential SQL
+    aggregate — no rounding-order hazard (parity-tested in
+    tests/test_sig_parity.py).  Why not the built-in expressions: each
+    plane dot is an aggregate(zip_with(...)) — CodegenFallback, Catalyst
+    interprets 4*ppb*EMB_DIM ops per row (see _simhash_bands_batch);
+    here it is one (batch x 64) @ (64 x 4*ppb) int64 matmul."""
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                                   StructField, StructType)
+
+    import numpy as np
+
+    # built once on the driver and shipped in the closure — rebuilding
+    # the md5-seeded plane matrix per Arrow batch would dominate at the
+    # session's small maxRecordsPerBatch
+    signs = _sign_matrix(ppb)
+    weights = np.left_shift(np.int64(1), np.arange(ppb, dtype=np.int64))
+
+    def _batch(qv):
+        a = np.asarray(qv.tolist(), dtype=np.int64)
+        bits = (a @ signs > 0).reshape(-1, N_EMB_BANDS, ppb)
+        bands = (bits * weights).sum(axis=2, dtype=np.int64).astype(np.int32)
+        nrm = (a * a).sum(axis=1)
+        return pd.DataFrame({"bands": list(bands), "nrm": nrm})
+
+    return F.pandas_udf(_batch, StructType([
+        StructField("bands", ArrayType(IntegerType())),
+        StructField("nrm", LongType())]))
+
+
+def emb_dot_udf():
+    """Exact candidate-verify dot as an Arrow-batched projection — the
+    per-candidate `DOT_S` fold is the hot interpreted expression of the
+    embedding dedup verify (candidates ~ 100x rows at the derived
+    occupancy).  int64 in, int64 out, exact — drop-in for F.expr(DOT_S)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    def _batch(qa, qb):
+        import numpy as np
+        a = np.asarray(qa.tolist(), dtype=np.int64)
+        b = np.asarray(qb.tolist(), dtype=np.int64)
+        return pd.Series((a * b).sum(axis=1))
+
+    return F.pandas_udf(_batch, LongType())
+
+
 def _bands_array_d(vec: str, ppb: int) -> str:
     return "[" + ", ".join(_band_bucket(vec, "duck", k, ppb)
                            for k in range(N_EMB_BANDS)) + "]"
@@ -1796,7 +1936,8 @@ def estimate_parquet_rows(spark, path: str) -> int:
 def dedup_embeddings_run(spark, input_path: str, output_dir: str,
                          threshold_pct: int = 98, iterations: int = 20,
                          cap: int = EMB_BUCKET_CAP,
-                         skew_safe: bool = False) -> dict:
+                         skew_safe: bool = False,
+                         arrow_sig: bool = True) -> dict:
     """Production embedding near-dup entry point (``cli.py
     --dedup-embeddings``): the derived-geometry seam exercised end to end.
 
@@ -1820,19 +1961,29 @@ def dedup_embeddings_run(spark, input_path: str, output_dir: str,
     e = spark.read.parquet(input_path)
     n_est = estimate_parquet_rows(spark, input_path)
     ppb = emb_lsh_geometry(n_est)
-    b = (e.select("vec_id", F.expr(QUANT_S).alias("qv"))
-         .withColumn("bands", _bands_array_s("qv", ppb))
-         .withColumn("nrm", F.expr(
-             "aggregate(zip_with(qv, qv, (x, y) -> x * y), "
-             "0L, (acc, v) -> acc + v)")))
+    q = e.select("vec_id", F.expr(QUANT_S).alias("qv"))
+    if arrow_sig:
+        # one Arrow pass computes all 4*ppb plane dots as a matmul plus
+        # the self-norm — bit-identical to the SQL folds (integer dots
+        # < 2^53; see emb_bands_nrm_udf) but not interpreter-bound
+        bn = emb_bands_nrm_udf(ppb)(F.col("qv"))
+        b = q.select("vec_id", "qv", bn.getField("bands").alias("bands"),
+                     bn.getField("nrm").alias("nrm"))
+    else:
+        b = (q.withColumn("bands", _bands_array_s("qv", ppb))
+             .withColumn("nrm", F.expr(
+                 "aggregate(zip_with(qv, qv, (x, y) -> x * y), "
+                 "0L, (acc, v) -> acc + v)")))
     b = _persist(b)   # band explode + both verify re-joins
     cand, dropped = emb_band_candidates(b, cap, skew_safe)
     va = b.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"),
                   F.col("nrm").alias("na"))
     vb = b.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"),
                   F.col("nrm").alias("nb"))
+    dot_col = (emb_dot_udf()(F.col("qa"), F.col("qb")) if arrow_sig
+               else F.expr(DOT_S))
     pairs = (cand.join(va, "vec_a").join(vb, "vec_b")
-             .withColumn("dot", F.expr(DOT_S))
+             .withColumn("dot", dot_col)
              .withColumn("cos_sim", F.expr(COS))
              .filter(F.col("cos_sim") * 100 >= threshold_pct)
              .select("vec_a", "vec_b", "cos_sim"))
@@ -1857,6 +2008,7 @@ def dedup_embeddings_run(spark, input_path: str, output_dir: str,
     return {
         "mode": "dedup_embeddings", "n_est": n_est, "ppb": ppb,
         "bands": N_EMB_BANDS, "bucket_cap": cap,
+        "sig_engine": "arrow" if arrow_sig else "sql",
         "pairs": out_pairs.count(),
         "non_canonical": out_dec.filter(~F.col("is_canonical")).count(),
         "dropped_hot_buckets": n_dropped, "skew_safe": skew_safe, **cc,
@@ -1867,7 +2019,8 @@ def dedup_embeddings_run(spark, input_path: str, output_dir: str,
 def dedup_texts_run(spark, input_path: str, output_dir: str,
                     hamming_max: int = 3, iterations: int = 20,
                     cap: int = EMB_BUCKET_CAP,
-                    skew_safe: bool = False) -> dict:
+                    skew_safe: bool = False,
+                    arrow_sig: bool = True) -> dict:
     """Production simhash near-dup entry point (``cli.py --dedup-texts``):
     the `simhash_band_bits` seam exercised end to end over a (doc_id,
     text) parquet.
@@ -1899,9 +2052,14 @@ def dedup_texts_run(spark, input_path: str, output_dir: str,
     n_est = estimate_parquet_rows(spark, input_path)
     bits = simhash_band_bits(n_est)
     d = spark.read.parquet(input_path).select("doc_id", "text")
+    # Arrow-batched numpy signature by default: the SQL form's HOF chain
+    # is CodegenFallback (interpreted row-at-a-time, ~19 core-ms/row
+    # measured at 2.4M rows) while the batch replica is bit-identical
+    # and ~10-40x faster — see _simhash_bands_batch.
+    band_col = (simhash_bands_udf(bits)(F.col("text")) if arrow_sig
+                else F.expr(_simhash_bands_from_text_s(bits)))
     sigs = (d.filter(F.expr(f"size({WORDS_S}) >= 1"))
-            .select("doc_id",
-                    F.expr(_simhash_bands_from_text_s(bits)).alias("bands")))
+            .select("doc_id", band_col.alias("bands")))
     sigs = _persist(sigs)   # band explode + both verify legs
     ex = sigs.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_bits"))
@@ -1943,6 +2101,7 @@ def dedup_texts_run(spark, input_path: str, output_dir: str,
     return {
         "mode": "dedup_texts", "n_est": n_est, "band_bits": bits,
         "signature_bits": 4 * bits, "hamming_max": hamming_max,
+        "sig_engine": "arrow" if arrow_sig else "sql",
         "band_cap": cap,
         "pairs": out_pairs.count(),
         "non_canonical": out_dec.filter(~F.col("is_canonical")).count(),

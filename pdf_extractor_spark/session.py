@@ -25,6 +25,16 @@ ARROW_MAX_RECORDS = 64
 
 def get_spark(app: str = "pdf_extractor_spark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
+    # Python workers must import this package to unpickle its pandas-UDF
+    # closures (the Arrow signature paths).  Local workers inherit the
+    # driver env, so pin the package parent onto PYTHONPATH instead of
+    # relying on the caller's cwd; a cluster submit ships the package via
+    # `spark-submit --py-files` and this is a no-op there.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{pp}" if pp else pkg_parent)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:

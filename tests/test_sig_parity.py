@@ -129,3 +129,116 @@ def test_minhash_sig_fuzz(spark_session_holder, texts):
 def spark_session_holder(spark):
     # hypothesis forbids function-scoped fixtures; re-expose module-scoped
     return spark
+
+
+# ---- Arrow-batch production signature (_simhash_bands_batch) parity ----
+
+def _py_simhash_bands(text, bits):
+    """Independent replica of the SQL band rule (`_simhash_bands_from_
+    text_s`): bit j of the 4*bits signature votes on bit j%4 of hex
+    digit j//4 of the (possibly doubled) word digest; band k packs bits
+    [k*bits, (k+1)*bits)."""
+    ws = _words(text)
+    if not ws:
+        return None
+    nbits = 4 * bits
+    votes = [0] * nbits
+    for w in ws:
+        h = _md5(w) if bits <= 32 else _md5(w) + _md5("#" + w)
+        for j in range(nbits):
+            nib = int(h[j // 4], 16)
+            votes[j] += 1 if (nib >> (j % 4)) & 1 else -1
+    return [sum(1 << (j - k * bits)
+                for j in range(k * bits, (k + 1) * bits) if votes[j] > 0)
+            for k in range(4)]
+
+
+@pytest.mark.parametrize("bits", [15, 21, 40])
+def test_simhash_bands_batch_matches_replica(fuzz_texts, bits):
+    from pdf_extractor_spark.corpus import _simhash_bands_batch
+    texts = fuzz_texts + [" ".join("w%d" % (i % 7) for i in range(n))
+                          for n in range(1, 24)]
+    got = _simhash_bands_batch(texts, bits)
+    for t, g in zip(texts, got):
+        want = _py_simhash_bands(t, bits)
+        if want is None:
+            assert g is None, repr(t)
+        else:
+            assert list(g) == want, (repr(t), list(g), want)
+
+
+@pytest.mark.parametrize("bits", [15, 21, 40])
+def test_simhash_bands_udf_matches_sql_expr(spark, fuzz_texts, bits):
+    """The production Arrow path vs the SQL/oracle reference, in Spark,
+    including unicode (exercises UTF-8 digest parity end to end)."""
+    from pdf_extractor_spark.corpus import (_simhash_bands_from_text_s,
+                                            simhash_bands_udf)
+    texts = [t for t in fuzz_texts if _words(t)]
+    rows = _run_texts(
+        spark, texts,
+        [F.col("text"),
+         simhash_bands_udf(bits)(F.col("text")).alias("arrow_bands"),
+         F.expr(_simhash_bands_from_text_s(bits)).alias("sql_bands")])
+    for r in rows:
+        assert list(r.arrow_bands) == list(r.sql_bands), repr(r.text)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(text_st, min_size=1, max_size=6))
+def test_simhash_bands_batch_fuzz(texts):
+    from pdf_extractor_spark.corpus import _simhash_bands_batch
+    got = _simhash_bands_batch(texts, 21)
+    for t, g in zip(texts, got):
+        want = _py_simhash_bands(t, 21)
+        assert (g is None and want is None) or list(g) == want, repr(t)
+
+
+# ---- Arrow-batch embedding LSH bands / norm / dot parity ----
+
+@pytest.mark.parametrize("ppb", [8, 12])
+def test_emb_bands_nrm_udf_matches_sql_expr(spark, ppb):
+    """Production Arrow banding vs the SQL/oracle reference on quantized
+    vectors spanning negatives, zeros, and the planted-dup case.  The
+    plane dots are integer-valued < 2^53, so any float64 summation order
+    is exact — the two paths must agree bit for bit."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.corpus import (EMB_DIM, _bands_array_s,
+                                            emb_bands_nrm_udf)
+    df = (spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.expr(f"transform(sequence(0, {EMB_DIM - 1}), i -> "
+               "CAST(pmod(xxhash64(id, i), 997) - 498 AS BIGINT))")
+        .alias("qv")))
+    bn = emb_bands_nrm_udf(ppb)(F.col("qv"))
+    rows = (df.select(
+        "vec_id",
+        bn.getField("bands").alias("arrow_bands"),
+        bn.getField("nrm").alias("arrow_nrm"),
+        _bands_array_s("qv", ppb).alias("sql_bands"),
+        F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, "
+               "(acc, v) -> acc + v)").alias("sql_nrm"))
+        .collect())
+    assert rows
+    for r in rows:
+        assert list(r.arrow_bands) == list(r.sql_bands), r.vec_id
+        assert r.arrow_nrm == r.sql_nrm, r.vec_id
+
+
+def test_emb_dot_udf_matches_sql_expr(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.corpus import DOT_S, EMB_DIM, emb_dot_udf
+    df = (spark.range(80).select(
+        F.expr(f"transform(sequence(0, {EMB_DIM - 1}), i -> "
+               "CAST(pmod(xxhash64(id, i), 997) - 498 AS BIGINT))")
+        .alias("qa"),
+        F.expr(f"transform(sequence(0, {EMB_DIM - 1}), i -> "
+               "CAST(pmod(xxhash64(id + 7, i), 991) - 495 AS BIGINT))")
+        .alias("qb")))
+    rows = (df.select(emb_dot_udf()(F.col("qa"), F.col("qb"))
+                      .alias("arrow_dot"),
+                      F.expr(DOT_S).alias("sql_dot")).collect())
+    assert rows
+    for r in rows:
+        assert r.arrow_dot == r.sql_dot
