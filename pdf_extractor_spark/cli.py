@@ -232,7 +232,8 @@ def main(argv: list[str] | None = None) -> int:
             threshold_pct=args.threshold_pct,
             iterations=args.cc_iterations,
             target_cell_size=args.target_cell_size,
-            skew_safe=args.skew_safe)
+            skew_safe=args.skew_safe,
+            arrow_sig=not args.sql_sig)
         print(json.dumps(metrics))
         return 0
 

@@ -1652,6 +1652,64 @@ def _assign_cell_lit(rows):
     return F.array_max(cands).getField("cell")
 
 
+def kmeans_assign_udf(rows):
+    """Nearest-centroid cell as an Arrow-batched argmax over the
+    driver-collected centroid table (``_cents_rows`` output) — the
+    production assignment path for derived K (bounded by the
+    ``KMEANS_K_MAX`` broadcast budget: 64Ki x 64 doubles = 32 MB in the
+    closure).  Why: the literal-expression argmax interprets K x EMB_DIM
+    ops per row (HOFs are CodegenFallback — see _simhash_bands_batch);
+    here it is one (batch x 64) @ (64 x K) matmul.
+
+    Parity vs the SQL forms: the SEED round is bit-identical (integer-
+    valued products < 2^53, any summation order exact — the same
+    argument as emb_dot_udf); against MEAN centroids (non-integer
+    doubles) numpy's summation order may differ from the sequential SQL
+    fold by ~1 ulp, which can flip an argmax only when two centroid
+    cosines tie within ~1e-15 relative — a measure-zero boundary effect
+    on a blocking heuristic whose downstream verify is exact.  The
+    registry queries therefore keep the SQL assignment (static DuckDB
+    oracles hash bit-identical plans); only the production CLI path
+    (no SQL oracle; gated by planted-dup e2e tests) uses this.
+    Tie-break parity: centroids are sorted by cell and np.argmax takes
+    the FIRST maximum — the lowest cell, exactly the (ccos, -cell)
+    struct-max rule."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    cells = np.asarray([c for c, _ in rows], dtype=np.int64)
+    cmat = np.asarray([cv for _, cv in rows], dtype=np.float64).T
+    cnrm = np.sqrt((cmat * cmat).sum(axis=0))
+
+    def _batch(qv):
+        a = np.asarray(qv.tolist(), dtype=np.float64)
+        cos = (a @ cmat) / cnrm
+        return pd.Series(cells[np.argmax(cos, axis=1)])
+
+    return F.pandas_udf(_batch, LongType())
+
+
+def _lloyd_arrow(spark, data, seed_cents, rounds: int):
+    """Lloyd training with driver-collected centroids and the Arrow
+    argmax assignment (`kmeans_assign_udf`) — the production path for
+    ANY derived K <= KMEANS_K_MAX (the literal/crossJoin split exists
+    only for the SQL engines).  Structure identical to `_lloyd_lit`:
+    zero n-row exchange per round, per-cell exact avgs, final lazy
+    assignment against the FINAL centroids."""
+    rows = _cents_rows(seed_cents)
+    for _ in range(rounds):
+        joined = data.withColumn("cell", kmeans_assign_udf(rows)(
+            F.col("qv")))
+        avgs = joined.groupBy("cell").agg(
+            *[F.avg(F.col("qv")[i]).alias(f"c{i}") for i in range(EMB_DIM)])
+        rows = _cents_rows(avgs.select(
+            "cell", F.array(*[f"c{i}" for i in range(EMB_DIM)]).alias("cv")))
+    cents = spark.createDataFrame(rows, "cell long, cv array<double>")
+    assign = data.withColumn("cell", kmeans_assign_udf(rows)(F.col("qv")))
+    return cents, assign
+
+
 def _lloyd_lit(spark, data, seed_cents, rounds: int):
     """Lloyd training with driver-collected centroids (small-K path,
     K <= LIT_CENTS_MAX): each round is scan -> zero-shuffle literal
@@ -2112,22 +2170,30 @@ def dedup_texts_run(spark, input_path: str, output_dir: str,
 
 def semantic_cell_pairs(m, cap: int = EMB_BUCKET_CAP,
                         threshold: float = 0.98,
-                        skew_safe: bool = False):
+                        skew_safe: bool = False,
+                        arrow_dot: bool = False):
     """Intra-cell >=``threshold`` cosine pairing over assigned rows ``m`` =
     (cell, vec_id, qv, nrm), hot-cell capped.  A dense embedding mode —
     boilerplate pages are common in web data — can land millions of
     vectors in ONE k-means cell, going quadratic in the self-join below
     no matter what K is; cells over the cap are excluded from pairing and
     RETURNED as (cell, bsz) (the no-silent-caps rule: callers surface the
-    report).  Same guard as the sibling LSH path's _bucket_capped."""
+    report).  Same guard as the sibling LSH path's _bucket_capped.
+
+    ``arrow_dot``: verify with the Arrow-batched exact int64 dot
+    (`emb_dot_udf` — bit-identical, see there) instead of the
+    interpreted DOT_S fold; the production path sets it, the registry
+    query keeps the SQL form so its static plan/oracle stay pinned."""
     kept, dropped = _occupancy_capped(m, ["cell"], cap, skew_safe)
     a = kept.select("cell", F.col("vec_id").alias("vec_a"),
                     F.col("qv").alias("qa"), F.col("nrm").alias("na"))
     y = kept.select("cell", F.col("vec_id").alias("vec_b"),
                     F.col("qv").alias("qb"), F.col("nrm").alias("nb"))
+    dot_col = (emb_dot_udf()(F.col("qa"), F.col("qb")) if arrow_dot
+               else F.expr(DOT_S))
     pairs = (a.join(y, "cell")
              .filter(F.col("vec_a") < F.col("vec_b"))
-             .withColumn("dot", F.expr(DOT_S))
+             .withColumn("dot", dot_col)
              .withColumn("cos_sim", F.expr(COS))
              .filter(F.col("cos_sim") >= threshold))
     return pairs, dropped
@@ -2137,7 +2203,8 @@ def dedup_semantic_run(spark, input_path: str, output_dir: str,
                        threshold_pct: int = 98, lloyd_iters: int = 1,
                        iterations: int = 20, target_cell_size: int = 1024,
                        cap: int = EMB_BUCKET_CAP,
-                       skew_safe: bool = False) -> dict:
+                       skew_safe: bool = False,
+                       arrow_sig: bool = True) -> dict:
     """Production SemDeDup entry point (``cli.py --dedup-semantic``,
     VERDICT r4 item 2): the ``kmeans_k`` derivation seam exercised end to
     end over a (vec_id, embedding array<float/double>) parquet.
@@ -2171,7 +2238,13 @@ def dedup_semantic_run(spark, input_path: str, output_dir: str,
              .select(F.col("vec_id").alias("cell"),
                      F.expr("transform(qv, x -> CAST(x AS DOUBLE))")
                      .alias("cv")))
-    if k <= LIT_CENTS_MAX:
+    if arrow_sig:
+        # Arrow argmax covers any derived K under the broadcast budget
+        # in one branch (the literal/crossJoin split below only matters
+        # for the SQL engines) — see kmeans_assign_udf for the parity
+        # contract
+        _cents, assigned = _lloyd_arrow(spark, data, seeds, lloyd_iters)
+    elif k <= LIT_CENTS_MAX:
         # small derived K: driver-collected literal centroids, zero-
         # shuffle assignment per round (see _lloyd_lit)
         _cents, assigned = _lloyd_lit(spark, data, seeds, lloyd_iters)
@@ -2190,11 +2263,12 @@ def dedup_semantic_run(spark, input_path: str, output_dir: str,
                 F.array(*[f"c{i}" for i in range(EMB_DIM)]).alias("cv"))
         assigned = _assign_nearest(data, cents, materialize=False,
                                    carry_vec=True)
-    m = assigned.withColumn("nrm", F.expr(
-        "aggregate(zip_with(qv, qv, (x, y) -> x * y), "
-        "0L, (acc, v) -> acc + v)"))
+    nrm_col = (emb_dot_udf()(F.col("qv"), F.col("qv")) if arrow_sig
+               else F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), "
+                           "0L, (acc, v) -> acc + v)"))
+    m = assigned.withColumn("nrm", nrm_col)
     pairs, dropped = semantic_cell_pairs(m, cap, threshold_pct / 100.0,
-                                         skew_safe)
+                                         skew_safe, arrow_dot=arrow_sig)
     pairs = _persist(pairs.select("vec_a", "vec_b", "cos_sim"), fresh=False)
     edges = (pairs.select(F.col("vec_a").alias("src"),
                           F.col("vec_b").alias("dst"))
@@ -2217,6 +2291,7 @@ def dedup_semantic_run(spark, input_path: str, output_dir: str,
         "expected_occupancy": (round(n_est / k, 1) if k else None),
         "lloyd_iters": lloyd_iters, "cell_cap": cap,
         "threshold_pct": threshold_pct,
+        "sig_engine": "arrow" if arrow_sig else "sql",
         "pairs": out_pairs.count(),
         "non_canonical": out_dec.filter(~F.col("is_canonical")).count(),
         "dropped_hot_cells": n_dropped, "skew_safe": skew_safe, **cc,

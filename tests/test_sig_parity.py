@@ -242,3 +242,41 @@ def test_emb_dot_udf_matches_sql_expr(spark):
     assert rows
     for r in rows:
         assert r.arrow_dot == r.sql_dot
+
+
+def test_kmeans_assign_udf_matches_lit_on_integer_centroids(spark):
+    """Arrow argmax vs the literal-expression argmax against INTEGER
+    seed centroids — the bit-identical round (all products < 2^53, any
+    summation order exact; see kmeans_assign_udf).  Includes an exact
+    duplicate of a centroid (cosine-1 tie across scaled copies) to
+    exercise the lowest-cell tie-break both ways."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.corpus import (EMB_DIM, _assign_cell_lit,
+                                            _cents_rows,
+                                            kmeans_assign_udf)
+    data = (spark.range(400).select(
+        F.col("id").alias("vec_id"),
+        F.expr(f"transform(sequence(0, {EMB_DIM - 1}), i -> "
+               "CAST(pmod(xxhash64(id, i), 41) - 20 AS BIGINT))")
+        .alias("qv")))
+    # centroids: 7 hash-derived + one 2x-scaled copy of centroid 0
+    # (same direction => exactly tied cosine with cell 0 for every row)
+    cents = (spark.range(7).select(
+        F.col("id").alias("cell"),
+        F.expr(f"transform(sequence(0, {EMB_DIM - 1}), i -> "
+               "CAST(CAST(pmod(xxhash64(id + 100, i), 41) - 20 AS BIGINT) "
+               "AS DOUBLE))").alias("cv"))
+        .unionByName(spark.range(1).select(
+            (F.col("id") + 7).alias("cell"),
+            F.expr(f"transform(sequence(0, {EMB_DIM - 1}), i -> "
+                   "2.0 * CAST(CAST(pmod(xxhash64(id + 100, i), 41) - 20 "
+                   "AS BIGINT) AS DOUBLE))").alias("cv"))))
+    rows = _cents_rows(cents)
+    got = (data.select(
+        "vec_id",
+        kmeans_assign_udf(rows)(F.col("qv")).alias("arrow_cell"),
+        _assign_cell_lit(rows).alias("sql_cell")).collect())
+    assert got
+    for r in got:
+        assert r.arrow_cell == r.sql_cell, r.vec_id
